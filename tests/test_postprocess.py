@@ -1,0 +1,58 @@
+"""Heatmap postprocess tests: parity with the reference's cv2/numpy pipeline."""
+
+import numpy as np
+import pytest
+
+from avtubes.evaluation import heatmap_to_mask, heatmap_to_mask_batch
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _reference_postprocess(heatmap):
+    """The reference driver's inline pipeline (train_hardway.py:176-181)."""
+    h = cv2.resize(heatmap.astype(np.float32), dsize=(224, 224), interpolation=cv2.INTER_LINEAR)
+    h = -h
+    vmin, vmax = h.min(), h.max()
+    if vmax - vmin != 0:
+        h = (h - vmin) / (vmax - vmin)
+    pred = 1 - h
+    threshold = np.sort(pred.flatten())[int(50176 * 0.5)]
+    pred[pred > threshold] = 1
+    pred[pred < 1] = 0
+    return pred
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mask_matches_reference_pipeline(seed):
+    rng = np.random.RandomState(seed)
+    heat = rng.randn(14, 14).astype(np.float32)
+    ours = heatmap_to_mask(heat)
+    ref = _reference_postprocess(heat)
+    # bilinear resize differences are at float ulp level; allow a handful of
+    # pixels to flip right at the median threshold
+    disagree = np.sum(ours != ref)
+    assert disagree <= 5, f"{disagree} pixels disagree"
+
+
+def test_mask_is_binary_and_half_dense():
+    rng = np.random.RandomState(3)
+    heat = rng.randn(14, 14).astype(np.float32)
+    m = heatmap_to_mask(heat)
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    # strictly-above-median keeps just under half the pixels
+    assert 0.3 < m.mean() < 0.55
+
+
+def test_batched_matches_single():
+    rng = np.random.RandomState(4)
+    heats = rng.randn(6, 14, 14).astype(np.float32)
+    batched = np.asarray(heatmap_to_mask_batch(heats))
+    for i in range(6):
+        single = heatmap_to_mask(heats[i])
+        assert np.array_equal(batched[i], single)
+
+
+def test_constant_heatmap_no_nan():
+    heat = np.ones((14, 14), dtype=np.float32)
+    m = heatmap_to_mask(heat)
+    assert np.all(np.isfinite(m))
