@@ -1,0 +1,150 @@
+"""Log-spectrogram front-end, scipy-parity, TPU-native.
+
+The reference computes, on the host per sample (`dataloader.py:94-96`):
+
+    _, _, S = scipy.signal.spectrogram(x, sr, nperseg=512, noverlap=1)
+    spec = log(S + 1e-7) / 12        # Normalize(mean=0, std=12)
+
+With scipy defaults that means: tukey(0.25) *periodic* window, per-segment
+constant detrend (mean removal), hop = nperseg - noverlap = 511, PSD
+density scaling 1/(fs * sum(win^2)), one-sided with non-DC/non-Nyquist
+bins doubled.  For 22.05 kHz x 10 s input the output is (257, 431).
+
+TPU design — everything after the raw waveform runs on device, batched:
+
+  * Framing uses the stride-(nperseg-1) reshape trick: with hop = 511 and
+    nperseg = 512, frames[i] = x[i*511 : i*511+512], so
+    x[: F*511].reshape(F, 511) gives the first 511 columns and the last
+    column is the strided gather x[511 :: 511][:F].  No (F, 512) gather —
+    just a reshape, one tiny slice, and a concat that XLA fuses away.
+  * The DFT is two MXU matmuls against precomputed (nperseg, nfreq)
+    cos/sin matrices rather than an FFT: 512-point transforms over ~431
+    frames are exactly the large-batch small-matmul shape the MXU eats,
+    and it fuses with the window/detrend/power/log elementwise ops.
+  * A fused Pallas variant lives in avtubes.ops.stft; this module is the
+    jnp reference implementation both are tested against (and against
+    scipy itself in tests/test_spectrogram.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tukey_periodic(nperseg: int, alpha: float = 0.25) -> np.ndarray:
+    """Periodic Tukey window == scipy.signal.get_window(('tukey', a), M)."""
+    npts = nperseg + 1  # periodic = symmetric(M+1) minus last point
+    n = np.arange(npts, dtype=np.float64)
+    edge = alpha * (npts - 1) / 2.0
+    w = np.ones(npts)
+    left = n < edge
+    w[left] = 0.5 * (1 + np.cos(np.pi * (n[left] / edge - 1)))
+    right = n > (npts - 1) - edge
+    w[right] = 0.5 * (1 + np.cos(np.pi * ((n[right] - (npts - 1) + edge) / edge)))
+    return w[:nperseg]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrogramConfig:
+    samplerate: int = 22050
+    seconds: int = 10
+    nperseg: int = 512
+    noverlap: int = 1
+    tukey_alpha: float = 0.25
+    log_offset: float = 1e-7
+    normalize_std: float = 12.0
+
+    @property
+    def hop(self) -> int:
+        return self.nperseg - self.noverlap
+
+    @property
+    def num_samples(self) -> int:
+        return self.samplerate * self.seconds
+
+    @property
+    def num_frames(self) -> int:
+        return (self.num_samples - self.nperseg) // self.hop + 1
+
+    @property
+    def num_freqs(self) -> int:
+        return self.nperseg // 2 + 1
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """(freq, time) like scipy's output."""
+        return (self.num_freqs, self.num_frames)
+
+
+def _dft_matrices(cfg: SpectrogramConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT cos/sin matrices of shape (nperseg, num_freqs), window folded in."""
+    n = np.arange(cfg.nperseg, dtype=np.float64)[:, None]
+    k = np.arange(cfg.num_freqs, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / cfg.nperseg
+    win = tukey_periodic(cfg.nperseg, cfg.tukey_alpha)[:, None]
+    return (np.cos(ang) * win), (-np.sin(ang) * win)
+
+
+def _onesided_scale(cfg: SpectrogramConfig) -> np.ndarray:
+    """PSD density scale per frequency bin, with one-sided doubling."""
+    win = tukey_periodic(cfg.nperseg, cfg.tukey_alpha)
+    scale = 1.0 / (cfg.samplerate * float(np.sum(win * win)))
+    s = np.full(cfg.num_freqs, 2.0 * scale)
+    s[0] = scale
+    if cfg.nperseg % 2 == 0:
+        s[-1] = scale  # Nyquist bin not doubled
+    return s
+
+
+def frame_signal(x: jnp.ndarray, cfg: SpectrogramConfig) -> jnp.ndarray:
+    """(..., num_samples) -> (..., num_frames, nperseg) via the reshape trick.
+
+    Requires hop == nperseg - 1 (the reference's noverlap=1 geometry). A
+    general-hop gather fallback covers other configs.
+    """
+    fcount, nperseg, hop = cfg.num_frames, cfg.nperseg, cfg.hop
+    if hop == nperseg - 1:
+        body = x[..., : fcount * hop].reshape(*x.shape[:-1], fcount, hop)
+        tail = x[..., hop :: hop][..., :fcount][..., None]
+        return jnp.concatenate([body, tail], axis=-1)
+    idx = np.arange(fcount)[:, None] * hop + np.arange(nperseg)[None, :]
+    return x[..., idx]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def log_spectrogram(x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()) -> jnp.ndarray:
+    """Batched device log-spectrogram: (..., num_samples) -> (..., F, T).
+
+    Output matches log(scipy spectrogram + 1e-7) / 12 in float32.
+    """
+    x = x.astype(jnp.float32)
+    frames = frame_signal(x, cfg)                       # (..., T, nperseg)
+    frames = frames - frames.mean(axis=-1, keepdims=True)  # constant detrend
+    cosm, sinm = _dft_matrices(cfg)
+    # HIGHEST precision: TPU matmuls default to bf16 inputs, which costs ~1e-2
+    # absolute error in the log-spectrogram; fp32 MXU passes keep it <2e-4.
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    re = dot(frames, jnp.asarray(cosm, jnp.float32))    # (..., T, F) — MXU
+    im = dot(frames, jnp.asarray(sinm, jnp.float32))
+    power = re * re + im * im
+    power = power * jnp.asarray(_onesided_scale(cfg), jnp.float32)
+    spec = jnp.log(power + cfg.log_offset) / cfg.normalize_std
+    return jnp.swapaxes(spec, -1, -2)                   # (..., F, T) like scipy
+
+
+def log_spectrogram_np(x: np.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()) -> np.ndarray:
+    """Float64 numpy reference (bit-comparable to scipy; used in tests/tools)."""
+    fcount, nperseg, hop = cfg.num_frames, cfg.nperseg, cfg.hop
+    idx = np.arange(fcount)[:, None] * hop + np.arange(nperseg)[None, :]
+    frames = x[idx].astype(np.float64)
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    win = tukey_periodic(cfg.nperseg, cfg.tukey_alpha)
+    spec = np.fft.rfft(frames * win, cfg.nperseg, axis=-1)
+    power = np.abs(spec) ** 2
+    power *= _onesided_scale(cfg)
+    return (np.log(power + cfg.log_offset) / cfg.normalize_std).T

@@ -1,0 +1,95 @@
+"""Spectrogram parity: our device/numpy implementations vs scipy, WAV round-trip."""
+
+import numpy as np
+import pytest
+from scipy import signal
+
+from avtubes.data import SpectrogramConfig, log_spectrogram, log_spectrogram_np, prepare_waveform, read_wav
+from avtubes.data.audio import write_wav
+from avtubes.data.spectrogram import tukey_periodic
+
+
+def _scipy_logspec(x, sr):
+    _, _, S = signal.spectrogram(x, sr, nperseg=512, noverlap=1)
+    return np.log(S + 1e-7) / 12.0
+
+
+def test_tukey_matches_scipy():
+    ref = signal.get_window(("tukey", 0.25), 512)
+    assert np.abs(tukey_periodic(512, 0.25) - ref).max() == 0.0
+
+
+def test_config_shape_22050():
+    cfg = SpectrogramConfig(samplerate=22050)
+    assert cfg.shape == (257, 431)
+
+
+@pytest.mark.parametrize("sr", [22050, 16000])
+def test_numpy_reference_matches_scipy(sr):
+    rng = np.random.RandomState(0)
+    x = np.clip(rng.randn(sr * 10) * 0.1, -1, 1)
+    cfg = SpectrogramConfig(samplerate=sr)
+    ours = log_spectrogram_np(x, cfg)
+    ref = _scipy_logspec(x, sr)
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() < 1e-10
+
+
+def test_device_matches_scipy_f32():
+    rng = np.random.RandomState(1)
+    sr = 22050
+    x = np.clip(rng.randn(sr * 10) * 0.1, -1, 1).astype(np.float32)
+    cfg = SpectrogramConfig(samplerate=sr)
+    ours = np.asarray(log_spectrogram(x, cfg))
+    ref = _scipy_logspec(x.astype(np.float64), sr)
+    assert ours.shape == ref.shape
+    # float32 DFT-matmul vs float64 FFT: log compresses the error further
+    assert np.abs(ours - ref).max() < 2e-4
+    assert np.abs(ours - ref).mean() < 2e-5
+
+
+def test_device_batched():
+    rng = np.random.RandomState(2)
+    sr = 22050
+    cfg = SpectrogramConfig(samplerate=sr)
+    xb = np.clip(rng.randn(3, sr * 10) * 0.1, -1, 1).astype(np.float32)
+    batched = np.asarray(log_spectrogram(xb, cfg))
+    assert batched.shape == (3, 257, 431)
+    for i in range(3):
+        single = np.asarray(log_spectrogram(xb[i], cfg))
+        assert np.abs(batched[i] - single).max() < 1e-6
+
+
+def test_prepare_waveform_tiles_and_clips():
+    sr = 1000
+    short = np.ones(sr * 3) * 2.0  # 3 s of out-of-range samples
+    out = prepare_waveform(short, sr, seconds=10)
+    assert out.shape == (sr * 10,)
+    assert out.max() == 1.0  # clipped
+    long = np.linspace(-2, 2, sr * 20)
+    out2 = prepare_waveform(long, sr, seconds=10)
+    assert out2.shape == (sr * 10,)
+    assert out2.min() == -1.0
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.RandomState(3)
+    sr = 22050
+    x = np.clip(rng.randn(sr) * 0.3, -1, 1)
+    p = tmp_path / "t.wav"
+    write_wav(p, x, sr)
+    y, sr2 = read_wav(p)
+    assert sr2 == sr
+    assert y.shape == x.shape
+    # PCM16 quantization + asymmetric 32767/32768 scaling
+    assert np.abs(y - x).max() < 1.0 / 16000
+
+def test_wav_stereo(tmp_path):
+    sr = 8000
+    x = np.stack([np.ones(100) * 0.5, np.ones(100) * -0.5], axis=1)
+    p = tmp_path / "s.wav"
+    write_wav(p, x, sr)
+    y, _ = read_wav(p)
+    assert y.shape == (100, 2)
+    mono = prepare_waveform(y, sr, seconds=1)
+    assert np.abs(mono).max() < 1e-4  # downmix cancels
