@@ -1,0 +1,124 @@
+"""One dataclass config tree shared by every entry point.
+
+The reference re-declares ~20 argparse flags per script
+(`/root/reference/train_hardway.py:40-68`); we keep the same flag names on
+the CLI (see avtubes.cli) but a single typed tree internally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from avtubes.models.hardway import HardwayConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    testset: str = "flickr"            # 'flickr' | 'vggss'
+    data_path: str = ""                # root with videos/<id>/{0..15}.jpg + audio/<id>.wav
+    og_data_path: str = ""             # root with frames/<id>.jpg + audio/<id>.wav (hardway test)
+    gt_path: str = ""                  # per-frame XML dir
+    og_gt_path: str = ""               # whole-video XML dir
+    metadata_dir: str = "metadata"     # CSV/JSON index dir
+    image_size: int = 224
+    frame_density: int = 16            # frames per training clip (1 = middle frame only)
+    sampling_rate: int = 16            # eval frame stride
+    subset: int = 10                   # flickr train subset in thousands {5,10,20,144}
+    samplerate: int = 22050
+    audio_seconds: int = 10
+    n_threads: int = 5                 # host decode workers
+    prefetch: int = 2                  # device prefetch depth
+    synthetic: bool = False            # generated data (tests / smoke)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 4e-6
+    weight_decay: float = 1e-4         # torch-Adam style L2 (added to grads pre-moments)
+    lr_milestones: tuple[int, ...] = (60, 100, 150, 180)  # epochs
+    lr_gamma: float = 0.1
+    epochs: int = 20
+    batch_size: int = 20
+    loss_weight: float = 0.1           # hardway CE weight; consistency gets (100 - w)
+    epoch_threshold: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    summaries_dir: str = "checkpoints/"
+    seed: int = 0
+    compute_dtype: str = "bfloat16"    # backbone compute dtype ('float32'|'bfloat16')
+    negative_pool: str = "global"      # 'global' | 'device'
+    mesh_shape: tuple[int, ...] = ()   # () = all devices on one 'data' axis
+    log_every: int = 10
+    checkpoint_every_epochs: int = 1
+    use_pretrained: bool = False
+    pretrained_path: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = DataConfig()
+    optim: OptimConfig = OptimConfig()
+    train: TrainConfig = TrainConfig()
+    hardway: HardwayConfig = HardwayConfig()
+
+    @classmethod
+    def from_args(cls, argv: list[str] | None = None) -> "ExperimentConfig":
+        """Parse the reference-compatible CLI flag set into the config tree."""
+        p = argparse.ArgumentParser()
+        p.add_argument("--testset", default="flickr", type=str)
+        p.add_argument("--data_path", default="", type=str)
+        p.add_argument("--og_data_path", default="", type=str)
+        p.add_argument("--image_size", default=224, type=int)
+        p.add_argument("--gt_path", default="", type=str)
+        p.add_argument("--og_gt_path", default="", type=str)
+        p.add_argument("--metadata_dir", default="metadata", type=str)
+        p.add_argument("--summaries_dir", default="checkpoints/", type=str)
+        p.add_argument("--batch_size", default=20, type=int)
+        p.add_argument("--epsilon", default=0.65, type=float)
+        p.add_argument("--epsilon2", default=0.4, type=float)
+        p.add_argument("--tri_map", action="store_true", default=True)
+        p.add_argument("--Neg", action="store_true", default=True)
+        p.add_argument("--learning_rate", default=4e-6, type=float)
+        p.add_argument("--weight_decay", default=1e-4, type=float)
+        p.add_argument("--n_threads", default=5, type=int)
+        p.add_argument("--epochs", default=20, type=int)
+        p.add_argument("--frame_density", default=16, type=int)
+        p.add_argument("--sampling_rate", default=16, type=int)
+        p.add_argument("--loss_weight", default=0.1, type=float)
+        p.add_argument("--use_pretrained", default=False, type=bool)
+        p.add_argument("--epoch_threshold", default=10, type=int)
+        # new (TPU build) flags
+        p.add_argument("--subset", default=10, type=int)
+        p.add_argument("--seed", default=0, type=int)
+        p.add_argument("--compute_dtype", default="bfloat16", type=str)
+        p.add_argument("--negative_pool", default="global", type=str)
+        p.add_argument("--synthetic", action="store_true", default=False)
+        p.add_argument("--steps", default=0, type=int, help="cap steps/epoch (0 = full)")
+        a = p.parse_args(argv)
+        cfg = cls(
+            data=DataConfig(
+                testset=a.testset, data_path=a.data_path, og_data_path=a.og_data_path,
+                gt_path=a.gt_path, og_gt_path=a.og_gt_path, metadata_dir=a.metadata_dir,
+                image_size=a.image_size, frame_density=a.frame_density,
+                sampling_rate=a.sampling_rate, subset=a.subset, n_threads=a.n_threads,
+                synthetic=a.synthetic,
+            ),
+            optim=OptimConfig(
+                learning_rate=a.learning_rate, weight_decay=a.weight_decay,
+                epochs=a.epochs, batch_size=a.batch_size, loss_weight=a.loss_weight,
+                epoch_threshold=a.epoch_threshold,
+            ),
+            train=TrainConfig(
+                summaries_dir=a.summaries_dir, seed=a.seed,
+                compute_dtype=a.compute_dtype, negative_pool=a.negative_pool,
+                use_pretrained=a.use_pretrained,
+            ),
+            hardway=HardwayConfig(
+                epsilon=a.epsilon, epsilon2=a.epsilon2, trimap=a.tri_map, use_neg=a.Neg,
+            ),
+        )
+        object.__setattr__(cfg, "_steps_cap", a.steps)  # convenience, not part of tree
+        return cfg

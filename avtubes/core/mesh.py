@@ -1,0 +1,47 @@
+"""Device mesh and sharding helpers.
+
+Parallelism design (SURVEY §2.10): the workload is data-parallel — the
+(b·t) frame-batch axis shards across a 1-D 'data' mesh; parameters and
+optimizer state are replicated; XLA emits psum for the gradient
+all-reduce and the all-gather implied by the cross-batch similarity
+matmul (global negative pool).  DCN would only carry multi-host input
+sharding; everything here rides ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axis_names=(DATA_AXIS,), shape=None) -> Mesh:
+    """Mesh over the given (default: all) devices; 1-D 'data' axis by default."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is not None:
+        devices = devices.reshape(shape)
+    return Mesh(devices, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place every array in `tree` with its leading axis sharded over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

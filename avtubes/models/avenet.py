@@ -1,0 +1,45 @@
+"""AVENet: the 2D per-frame audio-visual localization model.
+
+Capability parity with `/root/reference/model.py:87-154`: an image ResNet18
+producing a 14x14x512 spatial map and an audio ResNet18 globally max-pooled
+to a 512-d vector, joined by the hard-way similarity head.
+
+TPU-first shape conventions (NHWC):
+  image: (B, 224, 224, 3)         -> img feats (B, 14, 14, 512)
+  audio: (B, 257, 431, 1) log-spectrogram -> aud feats (B, 512)
+
+Returns a HardwayOutput named tuple instead of the reference's positional
+5-tuple; fields map 1:1 (A, logits, weighted_A, Pos, Neg).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from avtubes.models.hardway import HardwayConfig, HardwayOutput, hardway_head
+from avtubes.models.resnet2d import ResNet2D
+
+
+class AVENet(nn.Module):
+    hardway: HardwayConfig = HardwayConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.imgnet = ResNet2D(modal="vision", dtype=self.dtype, name="imgnet")
+        self.audnet = ResNet2D(modal="audio", dtype=self.dtype, name="audnet")
+
+    def encode_image(self, image, train: bool = True) -> jnp.ndarray:
+        """(B, H, W, 3) -> (B, H/16, W/16, 512) spatial features."""
+        return self.imgnet(image, train=train)
+
+    def encode_audio(self, audio, train: bool = True) -> jnp.ndarray:
+        """(B, F, T, 1) -> (B, 512) via global max pool (AdaptiveMaxPool2d(1,1))."""
+        feats = self.audnet(audio, train=train)
+        return feats.max(axis=(1, 2))
+
+    def __call__(self, image, audio, train: bool = True,
+                 aud_all: jnp.ndarray | None = None) -> HardwayOutput:
+        img = self.encode_image(image, train=train)
+        aud = self.encode_audio(audio, train=train)
+        return hardway_head(img, aud, self.hardway, aud_all=aud_all)

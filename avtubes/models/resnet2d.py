@@ -1,0 +1,125 @@
+"""Dual-modal 2D ResNet encoder (TPU-native NHWC flax module).
+
+Capability parity with the reference backbone
+(`/root/reference/models/base_models.py`):
+
+  * three stems selected by `modal`: 1-channel audio spectrogram, 3-channel
+    RGB, 6-channel stacked flow — all 7x7/stride-2 convs;
+  * stages [64, 128, 256, 512] of two BasicBlocks each (ResNet-18), with
+    strides [1, 2, 2, 1] — **layer4 keeps stride 1**
+    (`base_models.py:149`), which is what makes a 224x224 image produce the
+    14x14x512 feature map the similarity heatmap is defined on;
+  * conv kernels use He fan-out initialization, BatchNorm starts at
+    scale~N(1, 0.02), bias 0 (the AVENet re-init, `model.py:104-110`).
+
+TPU-first design differences from the reference (deliberate, not drift):
+
+  * NHWC layout throughout (XLA's native conv layout on TPU);
+  * a `dtype` knob runs conv/BN compute in bfloat16 with float32 params
+    and float32 batch statistics;
+  * returns the spatial feature map directly — no forward hooks, no
+    classifier head (the reference's avgpool/fc are dead weight on the
+    live path).
+  * under jit with a sharded batch, BatchNorm statistics are global-batch
+    by construction (XLA inserts the cross-device reductions), unlike the
+    reference's per-replica DataParallel stats.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# He fan-out normal (reference: nn.init.kaiming_normal_(mode='fan_out'))
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    """BatchNorm scale ~ N(1.0, 0.02) — the AVENet re-init (`model.py:108-110`)."""
+    import jax
+
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+STEM_CHANNELS = {"vision": 3, "audio": 1, "flow": 6}
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with identity/projection shortcut (ResNet v1 basic block)."""
+
+    filters: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            scale_init=bn_scale_init,
+            name=name,
+        )
+        identity = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, kernel_init=conv_init,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    kernel_init=conv_init, dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            identity = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=conv_init,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            identity = norm("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet2D(nn.Module):
+    """Headless dual-modal ResNet feature extractor.
+
+    Input  (B, H, W, C_modal) -> output (B, H/16, W/16, 512) — the /16 (not
+    /32) is the stride-1 layer4.
+    """
+
+    modal: str = "vision"
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    stage_filters: Sequence[int] = (64, 128, 256, 512)
+    stage_strides: Sequence[int] = (1, 2, 2, 1)  # layer4 stride 1 -> 14x14 map
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        expected_c = STEM_CHANNELS[self.modal]
+        if x.shape[-1] != expected_c:
+            raise ValueError(
+                f"modal={self.modal!r} expects {expected_c} input channels (NHWC), got {x.shape}"
+            )
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=conv_init, dtype=self.dtype,
+                    name=f"stem_{self.modal}")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, scale_init=bn_scale_init, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, (blocks, filters, stride) in enumerate(
+            zip(self.stage_sizes, self.stage_filters, self.stage_strides)
+        ):
+            for j in range(blocks):
+                x = BasicBlock(
+                    filters=filters,
+                    stride=stride if j == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}_block{j}",
+                )(x, train=train)
+        return x
+
+
+def resnet18(modal: str = "vision", dtype: jnp.dtype = jnp.float32) -> ResNet2D:
+    """ResNet-18 feature extractor with the given stem modality."""
+    return ResNet2D(modal=modal, dtype=dtype)

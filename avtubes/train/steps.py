@@ -1,0 +1,114 @@
+"""Jitted training/eval steps.
+
+`hardway_train_step` reproduces the flagship 4-term objective of
+`/root/reference/train_hardway.py:125-145`:
+
+    hardway  = CE(logits_clean, 0)       * loss_weight
+    aug      = CE(logits_augmented, 0)   * loss_weight
+    l2       = MSE(weighted_clean, weighted_aug) * (100 - loss_weight)
+    prop     = PropagationLoss(weighted_clean as (B,T,14,14))
+             + PropagationLoss(weighted_aug  as (B,T,14,14))
+    combined = (hardway + aug)/2 + l2 + prop
+
+on 16-frame clips flattened to the batch axis ((b t) folding,
+`train_hardway.py:128-131`), with the spectrogram repeated per frame.
+
+The two forward passes share parameters; BatchNorm running stats are
+updated by the clean pass and then by the augmented pass, in that order,
+matching the reference's sequential `model(...)` calls.
+
+TPU notes: the whole step is one jit program — both backbones, the
+pairwise-similarity matmul, the four losses, and the Adam update fuse into
+a single XLA executable.  Under a data-sharded mesh the (b t) batch axis is
+the sharded axis; XLA inserts psum for the gradient all-reduce and the
+all-gather implied by the cross-batch A0 matmul (global negative pool).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from avtubes.losses import consistency_l2, hardway_loss, propagation_loss
+from avtubes.train.state import AVTrainState
+
+
+def _fold_time(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, ...) -> (B*T, ...)."""
+    return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("loss_weight",), donate_argnums=(0,))
+def hardway_train_step(
+    state: AVTrainState,
+    frames: jnp.ndarray,      # (B, T, H, W, 3) clean view
+    augmented: jnp.ndarray,   # (B, T, H, W, 3) aggressive-augment view
+    spec: jnp.ndarray,        # (B, F, Tt, 1) per-clip log-spectrogram
+    loss_weight: float = 0.1,
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    b, t = frames.shape[:2]
+    frames_f = _fold_time(frames)
+    augmented_f = _fold_time(augmented)
+    spec_f = jnp.repeat(spec, t, axis=0)  # (B*T, F, Tt, 1): spec tiled per frame
+
+    def loss_fn(params):
+        out, mut = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            frames_f, spec_f, train=True, mutable=["batch_stats"],
+        )
+        out2, mut2 = state.apply_fn(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            augmented_f, spec_f, train=True, mutable=["batch_stats"],
+        )
+        hw = hardway_loss(out.logits) * loss_weight
+        aug = hardway_loss(out2.logits) * loss_weight
+        l2 = consistency_l2(out.weighted_map, out2.weighted_map) * (100.0 - loss_weight)
+        att1 = out.weighted_map.reshape(b, t, *out.weighted_map.shape[1:])
+        att2 = out2.weighted_map.reshape(b, t, *out2.weighted_map.shape[1:])
+        prop = propagation_loss(att1) + propagation_loss(att2)
+        combined = (hw + aug) / 2.0 + l2 + prop
+        metrics = {
+            "loss": combined, "hardway_loss": hw, "aug_loss": aug,
+            "l2_loss": l2, "consistency_loss": prop,
+        }
+        return combined, (mut2["batch_stats"], metrics)
+
+    grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, metrics
+
+
+@jax.jit
+def hardway_1frame_train_step(
+    state: AVTrainState,
+    frames: jnp.ndarray,   # (B, H, W, 3) single middle frame
+    spec: jnp.ndarray,     # (B, F, Tt, 1)
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    """Plain hard-way CE, single frame (`train_hardway_1frame.py:131` semantics)."""
+
+    def loss_fn(params):
+        out, mut = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            frames, spec, train=True, mutable=["batch_stats"],
+        )
+        loss = hardway_loss(out.logits)
+        return loss, (mut["batch_stats"], {"loss": loss})
+
+    grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, metrics
+
+
+@jax.jit
+def eval_heatmap_step(state: AVTrainState, frames: jnp.ndarray, spec: jnp.ndarray):
+    """Inference: (B,H,W,3)+(B,F,T,1) -> raw (B,14,14) heatmaps (no BN update)."""
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        frames, spec, train=False,
+    )
+    return out.heatmap

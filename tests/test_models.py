@@ -1,0 +1,115 @@
+"""Model tests: shapes, hard-way head math vs independent numpy reference, init."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avtubes.models import AVENet, HardwayConfig, hardway_head, resnet18
+
+
+def test_resnet18_vision_is_stride16():
+    """stride-1 layer4 => 224 input -> 14x14x512 (the load-bearing detail)."""
+    model = resnet18(modal="vision")
+    x = jnp.zeros((1, 224, 224, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(vars_, x, train=False)
+    assert y.shape == (1, 14, 14, 512)
+
+
+def test_resnet18_audio_shape():
+    model = resnet18(modal="audio")
+    x = jnp.zeros((1, 257, 431, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(vars_, x, train=False)
+    assert y.shape == (1, 17, 27, 512)
+
+
+def test_resnet18_wrong_channels_raises():
+    model = resnet18(modal="audio")
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+def _numpy_hardway_reference(img, aud, eps, eps2, tau, temp):
+    """Independent numpy transcription of the hard-way math (model.py:112-154)."""
+    b, h, w, c = img.shape
+    img = img / np.linalg.norm(img, axis=-1, keepdims=True)
+    aud = aud / np.linalg.norm(aud, axis=-1, keepdims=True)
+    A = np.einsum("bhwc,bc->bhw", img, aud).reshape(b, -1)
+    A0 = np.einsum("bhwc,kc->bkhw", img, aud).reshape(b, b, -1)
+    sig = lambda z: 1 / (1 + np.exp(-z))
+    Pos = sig((A - eps) / tau)
+    Neg = 1 - sig((A - eps2) / tau)
+    PosAll = sig((A0 - eps) / tau)
+    sim1 = (Pos * A).sum(-1, keepdims=True) / Pos.sum(-1, keepdims=True)
+    mask = 1 - 100 * np.eye(b)
+    sim = ((PosAll * A0).sum(-1) / PosAll.sum(-1)) * mask
+    sim2 = (Neg * A).sum(-1, keepdims=True) / Neg.sum(-1, keepdims=True)
+    logits = np.concatenate([sim1, sim, sim2], axis=1) / temp
+    norm_pos = Pos / np.linalg.norm(Pos, axis=-1, keepdims=True)
+    weighted = (img * norm_pos.reshape(b, h, w, 1)).mean(axis=-1)
+    return A.reshape(b, h, w), logits, weighted
+
+
+def test_hardway_head_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    b, h, w, c = 5, 14, 14, 32
+    img = rng.randn(b, h, w, c).astype(np.float32)
+    aud = rng.randn(b, c).astype(np.float32)
+    cfg = HardwayConfig()
+    out = hardway_head(jnp.asarray(img), jnp.asarray(aud), cfg)
+    ref_A, ref_logits, ref_weighted = _numpy_hardway_reference(
+        img.astype(np.float64), aud.astype(np.float64), cfg.epsilon, cfg.epsilon2,
+        cfg.tau, cfg.temperature)
+    assert out.logits.shape == (b, b + 2)
+    np.testing.assert_allclose(np.asarray(out.heatmap), ref_A, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.logits), ref_logits, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.weighted_map), ref_weighted, atol=1e-5)
+
+
+def test_hardway_head_no_trimap_no_neg():
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(3, 4, 4, 16), jnp.float32)
+    aud = jnp.asarray(rng.randn(3, 16), jnp.float32)
+    out = hardway_head(img, aud, HardwayConfig(trimap=False, use_neg=False))
+    assert out.logits.shape == (3, 4)  # (B, B+1)
+    # Neg must equal 1 - Pos when trimap off
+    np.testing.assert_allclose(np.asarray(out.neg), 1 - np.asarray(out.pos), atol=1e-6)
+
+
+def test_hardway_mask_pushes_diagonal_down():
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(4, 4, 4, 16), jnp.float32)
+    aud = jnp.asarray(rng.randn(4, 16), jnp.float32)
+    out = hardway_head(img, aud)
+    # columns 1..B of logits are the masked cross-sims; diagonal entries are
+    # scaled by (1-100) so they are large-magnitude (excluded from softmax race)
+    sims = np.asarray(out.logits)[:, 1:-1]
+    diag = np.abs(np.diag(sims))
+    offdiag = np.abs(sims - np.diag(np.diag(sims))).max()
+    assert np.all(diag > offdiag)
+
+
+def test_avenet_end_to_end_shapes():
+    model = AVENet()
+    image = jnp.zeros((2, 224, 224, 3))
+    audio = jnp.zeros((2, 257, 431, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), image, audio, train=False)
+    out = model.apply(vars_, image, audio, train=False)
+    assert out.heatmap.shape == (2, 14, 14)
+    assert out.logits.shape == (2, 4)
+    assert out.weighted_map.shape == (2, 14, 14)
+    assert out.pos.shape == (2, 14, 14)
+
+
+def test_avenet_train_mode_updates_batch_stats():
+    model = AVENet()
+    image = jnp.ones((2, 64, 64, 3))
+    audio = jnp.ones((2, 64, 64, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), image, audio, train=True)
+    assert "batch_stats" in vars_
+    out, mutated = model.apply(vars_, image, audio, train=True, mutable=["batch_stats"])
+    leaves_before = jax.tree_util.tree_leaves(vars_["batch_stats"])
+    leaves_after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after))

@@ -1,0 +1,79 @@
+"""End-to-end smoke: jitted train steps run and overfit a tiny synthetic batch.
+
+Mirrors the reference's overfit-one-sample debug harness
+(visualize.py:91-118) — the can-it-learn-at-all check.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avtubes.core.config import OptimConfig
+from avtubes.models import AVENet
+from avtubes.train import (
+    create_train_state,
+    eval_heatmap_step,
+    hardway_1frame_train_step,
+    hardway_train_step,
+)
+
+
+def _tiny_state(lr=1e-3):
+    model = AVENet()
+    image = jnp.zeros((2, 64, 64, 3))
+    audio = jnp.zeros((2, 64, 64, 1))
+    return model, create_train_state(
+        model, jax.random.PRNGKey(0), (image, audio),
+        OptimConfig(learning_rate=lr, weight_decay=1e-4), steps_per_epoch=1,
+    )
+
+
+def test_1frame_step_overfits():
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    spec = jnp.asarray(rng.randn(2, 64, 64, 1), jnp.float32)
+    _, state = _tiny_state(lr=1e-3)
+    losses = []
+    for _ in range(12):
+        state, metrics = hardway_1frame_train_step(state, frames, spec)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]:.4f} -> {losses[-1]:.4f}"
+
+
+def test_full_hardway_step_runs_and_decreases():
+    rng = np.random.RandomState(1)
+    b, t = 2, 2
+    frames = jnp.asarray(rng.randn(b, t, 64, 64, 3), jnp.float32)
+    augmented = frames + 0.01 * jnp.asarray(rng.randn(b, t, 64, 64, 3), jnp.float32)
+    spec = jnp.asarray(rng.randn(b, 64, 64, 1), jnp.float32)
+    _, state = _tiny_state(lr=1e-3)
+    losses = []
+    for _ in range(10):
+        state, metrics = hardway_train_step(state, frames, augmented, spec, loss_weight=0.1)
+        losses.append(float(metrics["loss"]))
+        for key in ("hardway_loss", "aug_loss", "l2_loss", "consistency_loss"):
+            assert np.isfinite(float(metrics[key]))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_step_shapes_and_purity():
+    rng = np.random.RandomState(2)
+    frames = jnp.asarray(rng.randn(3, 64, 64, 3), jnp.float32)
+    spec = jnp.asarray(rng.randn(3, 64, 64, 1), jnp.float32)
+    _, state = _tiny_state()
+    h1 = eval_heatmap_step(state, frames, spec)
+    h2 = eval_heatmap_step(state, frames, spec)
+    assert h1.shape == (3, 4, 4)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_lr_schedule_milestones():
+    from avtubes.train.state import make_lr_schedule
+
+    cfg = OptimConfig(learning_rate=4e-6, lr_milestones=(60, 100), lr_gamma=0.1)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert np.isclose(float(sched(0)), 4e-6)
+    assert np.isclose(float(sched(599)), 4e-6)
+    assert np.isclose(float(sched(600)), 4e-7)
+    assert np.isclose(float(sched(1000)), 4e-8)
