@@ -1,0 +1,18 @@
+"""CLI: 3D tube training (reference `train_3D.py` flags).
+
+Smoke:  python -m avtubes.cli.train_3d --synthetic --steps 2 --epochs 1 \
+            --batch_size 2 --frame_density 2
+"""
+
+from avtubes.core.config import ExperimentConfig
+from avtubes.train.train3d import run
+
+
+def main(argv=None):
+    cfg = ExperimentConfig.from_args(argv)
+    metrics = run(cfg, steps_cap=getattr(cfg, "_steps_cap", 0))
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""CLI: 16-frame hard-way training (reference `train_hardway.py` flags).
+
+    python -m avtubes.cli.train_hardway --data_path ... --og_data_path ... \
+        --og_gt_path ... --summaries_dir ckpts/ --batch_size 20
+
+Smoke:  python -m avtubes.cli.train_hardway --synthetic --steps 3 --epochs 1
+"""
+
+from avtubes.core.config import ExperimentConfig
+from avtubes.train.hardway import run
+
+
+def main(argv=None):
+    cfg = ExperimentConfig.from_args(argv)
+    metrics = run(cfg, steps_cap=getattr(cfg, "_steps_cap", 0))
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

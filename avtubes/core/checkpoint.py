@@ -1,0 +1,79 @@
+"""Checkpoint save/restore (orbax pytree checkpoints).
+
+The reference saves `{epoch, model_state_dict, optimizer_state_dict}` per
+epoch with torch.save (`train_hardway.py:241-247`) and resumes by dict
+update + load_state_dict (`:93-100`).  Here a checkpoint is the full
+AVTrainState pytree `{step, params, batch_stats, opt_state}` plus the epoch,
+written with orbax (async-safe, atomic directories).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer() -> ocp.Checkpointer:
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
+def checkpoint_path(summaries_dir: str | Path, tag: str, epoch: int) -> Path:
+    return Path(summaries_dir).absolute() / f"{tag}_ep{epoch}"
+
+
+def save_checkpoint(summaries_dir: str | Path, tag: str, epoch: int, state) -> Path:
+    """Write {params, batch_stats, opt_state, step, epoch} to an orbax dir."""
+    path = checkpoint_path(summaries_dir, tag, epoch)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": epoch,
+    }
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(path: str | Path, state) -> tuple[Any, int]:
+    """Restore into a template AVTrainState; returns (state, epoch)."""
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": 0,
+    }
+    # restore as host numpy (topology-independent); the next jit call moves
+    # leaves back to device with whatever sharding the run uses
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+    )
+    restored = _checkpointer().restore(
+        Path(path).absolute(), item=template, restore_args=restore_args
+    )
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return new_state, int(restored["epoch"])
+
+
+def latest_checkpoint(summaries_dir: str | Path, tag: str) -> Path | None:
+    root = Path(summaries_dir)
+    if not root.exists():
+        return None
+    cands = []
+    for p in root.iterdir():
+        if p.is_dir() and p.name.startswith(f"{tag}_ep"):
+            try:
+                cands.append((int(p.name.split("_ep")[-1]), p))
+            except ValueError:
+                continue
+    return max(cands)[1] if cands else None

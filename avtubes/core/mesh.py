@@ -18,13 +18,30 @@ DATA_AXIS = "data"
 
 
 def make_mesh(devices=None, axis_names=(DATA_AXIS,), shape=None) -> Mesh:
-    """Mesh over the given (default: all) devices; 1-D 'data' axis by default."""
+    """Mesh over the given (default: all) devices; 1-D 'data' axis by default.
+
+    When jax_default_device is pinned (tests force CPU this way — the axon
+    plugin ignores JAX_PLATFORMS), the mesh follows that platform so compute
+    and data never straddle the host<->TPU tunnel.
+    """
     if devices is None:
-        devices = jax.devices()
+        default = jax.config.jax_default_device
+        devices = jax.devices(default.platform) if default is not None else jax.devices()
     devices = np.asarray(devices)
     if shape is not None:
         devices = devices.reshape(shape)
     return Mesh(devices, axis_names)
+
+
+def make_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """1-D data mesh over the most devices that evenly divide batch_size."""
+    if devices is None:
+        default = jax.config.jax_default_device
+        devices = jax.devices(default.platform) if default is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh(devices[:n])
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

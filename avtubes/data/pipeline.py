@@ -1,0 +1,253 @@
+"""Host input pipeline: dataset sources, threaded decode, device prefetch.
+
+Equivalents of the reference's three torch Datasets
+(`/root/reference/datasets/dataloader.py`):
+
+  * ClipTrainSource    ~ SubSampledFlickr   — pre-extracted JPEG clips
+                         `videos/<id>/{0..T-1}.jpg` + `audio/<id>.wav`
+  * HardwayTestSource  ~ GetAudioVideoDataset — single `frames/<id>.jpg`
+                         + `audio/<id>.wav` (the 249-image hard-way test)
+  * PerFrameEvalSource ~ PerFrameLabels     — full `videos/<id>.mp4` decode
+                         (cv2), every frame, batch size 1
+
+Design differences (deliberate):
+  * decode failures are skipped and counted, not silently replaced with the
+    previous video (`dataloader.py:348-361` anti-pattern);
+  * the heavy per-sample work (spectrogram, augmentation) happens on device
+    in batch — sources emit raw uint8 frames + float32 waveforms;
+  * `BatchLoader` is a thread-pool prefetch loop (numpy, zero torch);
+    `device_prefetch` keeps `depth` batches in flight on the accelerator so
+    the H2D copy overlaps the previous step's compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import numpy as np
+
+from avtubes.core.config import DataConfig
+from avtubes.data.audio import prepare_waveform, read_wav
+from avtubes.data.transforms import host_eval_clip, host_load_eval_frame, host_load_train_clip
+
+
+class SkippedSampleError(Exception):
+    """Raised by sources for undecodable samples; the loader skips + counts."""
+
+
+class ClipTrainSource:
+    """Training clips: `videos/<id>/{i}.jpg` frames + `audio/<id>.wav`."""
+
+    def __init__(self, root: str | Path, ids: list[str], cfg: DataConfig):
+        self.root = Path(root)
+        self.ids = ids
+        self.cfg = cfg
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def load(self, idx: int, rng: np.random.RandomState) -> dict[str, Any]:
+        vid = self.ids[idx]
+        frame_dir = self.root / "videos" / vid
+        t = self.cfg.frame_density
+        try:
+            if t < 2:  # middle-frame mode (`dataloader.py:257-258`)
+                paths = [frame_dir / "8.jpg"]
+            else:
+                paths = [frame_dir / f"{i}.jpg" for i in range(t)]
+            clip = host_load_train_clip(paths, rng, self.cfg.image_size)
+            samples, sr = read_wav(self.root / "audio" / f"{vid}.wav")
+            wav = prepare_waveform(samples, sr, self.cfg.audio_seconds)
+        except (OSError, ValueError) as e:
+            raise SkippedSampleError(f"{vid}: {e}") from e
+        return {"clip": clip, "waveform": wav.astype(np.float32), "id": vid}
+
+
+class HardwayTestSource:
+    """Hard-way test: one `frames/<id>.jpg` + `audio/<id>.wav` per id."""
+
+    def __init__(self, root: str | Path, ids: list[str], cfg: DataConfig):
+        self.root = Path(root)
+        self.ids = ids
+        self.cfg = cfg
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def load(self, idx: int, rng=None) -> dict[str, Any]:
+        vid = self.ids[idx]
+        try:
+            frame = host_load_eval_frame(self.root / "frames" / f"{vid}.jpg",
+                                         self.cfg.image_size)
+            samples, sr = read_wav(self.root / "audio" / f"{vid}.wav")
+            wav = prepare_waveform(samples, sr, self.cfg.audio_seconds)
+        except (OSError, ValueError) as e:
+            raise SkippedSampleError(f"{vid}: {e}") from e
+        return {"frame": frame, "waveform": wav.astype(np.float32), "id": vid}
+
+
+class PerFrameEvalSource:
+    """Whole-video eval: cv2-decode every frame of `videos/<id>.mp4`."""
+
+    def __init__(self, root: str | Path, ids: list[str], cfg: DataConfig,
+                 audio_root: str | Path | None = None):
+        self.root = Path(root)
+        self.audio_root = Path(audio_root) if audio_root else self.root / "audio"
+        self.ids = ids
+        self.cfg = cfg
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def load(self, idx: int, rng=None) -> dict[str, Any]:
+        import cv2
+
+        vid = self.ids[idx]
+        path = self.root / "videos" / f"{vid}.mp4"
+        cap = cv2.VideoCapture(str(path))
+        frames = []
+        ok, img = cap.read()
+        while ok:
+            frames.append(img[:, :, ::-1])  # BGR -> RGB
+            ok, img = cap.read()
+        cap.release()
+        if len(frames) <= 1:
+            raise SkippedSampleError(f"{vid}: undecodable or single-frame video")
+        clip = host_eval_clip(np.asarray(frames), self.cfg.image_size)
+        try:
+            samples, sr = read_wav(self.audio_root / f"{vid}.wav")
+            wav = prepare_waveform(samples, sr, self.cfg.audio_seconds)
+        except (OSError, ValueError) as e:
+            raise SkippedSampleError(f"{vid}: {e}") from e
+        return {"clip": clip, "waveform": wav.astype(np.float32), "id": vid}
+
+
+class SyntheticSource:
+    """Deterministic random clips + waveforms (tests, smoke runs, bench)."""
+
+    def __init__(self, cfg: DataConfig, n: int = 64, clip: bool = True, seed: int = 0):
+        self.cfg = cfg
+        self.n = n
+        self.clip = clip
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def load(self, idx: int, rng=None) -> dict[str, Any]:
+        r = np.random.RandomState(self.seed * 100003 + idx)
+        s = self.cfg.image_size
+        wav = np.clip(r.randn(self.cfg.samplerate * self.cfg.audio_seconds) * 0.1,
+                      -1, 1).astype(np.float32)
+        if self.clip:
+            t = max(self.cfg.frame_density, 1)
+            img = r.randint(0, 256, (t, s, s, 3), dtype=np.uint8)
+            return {"clip": img, "waveform": wav, "id": f"synthetic_{idx}"}
+        img = r.randint(0, 256, (s, s, 3), dtype=np.uint8)
+        return {"frame": img, "waveform": wav, "id": f"synthetic_{idx}"}
+
+
+def _collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        out[key] = vals if key == "id" else np.stack(vals)
+    return out
+
+
+class BatchLoader:
+    """Thread-pool batched loader with skip-and-count error handling."""
+
+    def __init__(self, source, batch_size: int, num_workers: int = 4,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+        self.source = source
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.skipped = 0
+
+    def __len__(self) -> int:
+        n = len(self.source)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
+        order = np.arange(len(self.source))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+
+        work: queue.Queue = queue.Queue()
+        done: queue.Queue = queue.Queue()
+        for pos, idx in enumerate(order):
+            work.put((pos, int(idx)))
+        stop = object()
+
+        def worker(wid: int):
+            while True:
+                try:
+                    pos, idx = work.get_nowait()
+                except queue.Empty:
+                    done.put(stop)
+                    return
+                # per-sample-position rng: the stream is identical for any
+                # worker count (unlike torch DataLoader's per-worker seeding)
+                rng = np.random.RandomState((self.seed + epoch) * 1_000_003 + pos)
+                try:
+                    done.put((pos, self.source.load(idx, rng)))
+                except SkippedSampleError:
+                    done.put((pos, None))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for th in threads:
+            th.start()
+
+        finished = 0
+        buf: list[dict[str, Any]] = []
+        pending: dict[int, Any] = {}
+        next_pos = 0
+        total = len(order)
+        while finished < self.num_workers or pending or next_pos < total:
+            item = done.get()
+            if item is stop:
+                finished += 1
+                if finished == self.num_workers and next_pos >= total:
+                    break
+                continue
+            pos, sample = item
+            pending[pos] = sample
+            while next_pos in pending:  # preserve deterministic order
+                s = pending.pop(next_pos)
+                next_pos += 1
+                if s is None:
+                    self.skipped += 1
+                else:
+                    buf.append(s)
+                if len(buf) == self.batch_size:
+                    yield _collate(buf)
+                    buf = []
+            if next_pos >= total and not pending:
+                break
+        for th in threads:
+            th.join(timeout=5)
+        if buf and not self.drop_last:
+            yield _collate(buf)
+
+
+def device_prefetch(iterator: Iterator[dict[str, Any]], depth: int = 2,
+                    put: Callable[[Any], Any] | None = None) -> Iterator[dict[str, Any]]:
+    """Keep `depth` batches device-resident ahead of the consumer."""
+    import jax
+
+    put = put or jax.device_put
+    buf: list[dict[str, Any]] = []
+    for batch in iterator:
+        arrays = {k: (put(v) if isinstance(v, np.ndarray) else v) for k, v in batch.items()}
+        buf.append(arrays)
+        if len(buf) > depth:
+            yield buf.pop(0)
+    yield from buf

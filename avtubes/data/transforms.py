@@ -1,0 +1,214 @@
+"""Image/clip transforms.
+
+Split host/device by what each is good at (reference pipelines:
+`/root/reference/datasets/dataloader.py:155-197`):
+
+  * HOST (per-sample, variable shapes): JPEG/mp4 decode, aspect-preserving
+    shortest-side resize (PIL bicubic), the consistent-per-clip random/center
+    224 crop.  Output: fixed-shape uint8 clips.
+  * DEVICE (batched, fixed shapes, fused by XLA): horizontal flip, the
+    aggressive second view (random 156-crop -> color jitter -> bicubic
+    resize back to 224 -> flip), and ImageNet normalization.
+
+The reference's two training views are: view1 = Resize(1.1x) -> RandomCrop
+-> HFlip -> CenterCrop; view2 = RandomCrop(0.7x) -> ColorJitter(.5,.5,.5,.5)
+-> Resize -> HFlip *applied to view1's output*.  We reproduce exactly that
+dataflow; color-jitter ops are applied in fixed order (brightness, contrast,
+saturation, hue) rather than torchvision's random order — same marginal
+ranges, a deliberate simplification.
+
+All device transforms take an explicit PRNG key and are vmappable/jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+# ---------------------------------------------------------------- host side
+
+def host_resize_shortest(img, size: int):
+    """PIL aspect-preserving bicubic resize of the shortest side."""
+    from PIL import Image
+
+    w, h = img.size
+    if w < h:
+        new = (size, max(1, round(h * size / w)))
+    else:
+        new = (max(1, round(w * size / h)), size)
+    return img.resize(new, Image.BICUBIC)
+
+
+def host_center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = max(0, (h - size) // 2)
+    left = max(0, (w - size) // 2)
+    return arr[top : top + size, left : left + size]
+
+
+def host_random_crop_params(rng: np.random.RandomState, h: int, w: int, size: int):
+    top = rng.randint(0, max(1, h - size + 1))
+    left = rng.randint(0, max(1, w - size + 1))
+    return top, left
+
+
+def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 224,
+                         resize_factor: float = 1.1) -> np.ndarray:
+    """Decode clip frames -> shortest-side resize (1.1x) -> one consistent
+    random crop across all frames.  Returns uint8 (T, size, size, 3)."""
+    from PIL import Image
+
+    target = int(image_size * resize_factor)
+    frames = []
+    crop = None
+    for p in paths:
+        img = host_resize_shortest(Image.open(p).convert("RGB"), target)
+        arr = np.asarray(img)
+        if crop is None:
+            crop = host_random_crop_params(rng, arr.shape[0], arr.shape[1], image_size)
+        top, left = crop
+        frames.append(arr[top : top + image_size, left : left + image_size])
+    return np.stack(frames)
+
+
+def host_load_eval_frame(path, image_size: int = 224) -> np.ndarray:
+    """Decode -> shortest-side resize to size -> center crop.  uint8 (H, W, 3)."""
+    from PIL import Image
+
+    img = host_resize_shortest(Image.open(path).convert("RGB"), image_size)
+    return host_center_crop(np.asarray(img), image_size)
+
+
+def host_eval_clip(frames: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """Resize+center-crop an already-decoded (T,H,W,3) uint8 video (eval path)."""
+    from PIL import Image
+
+    out = []
+    for f in frames:
+        img = host_resize_shortest(Image.fromarray(f), image_size)
+        out.append(host_center_crop(np.asarray(img), image_size))
+    return np.stack(out)
+
+
+# -------------------------------------------------------------- device side
+
+def normalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [0,255] (..., H, W, 3) -> ImageNet-normalized float32."""
+    x = x.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def hflip_clip(clip: jnp.ndarray) -> jnp.ndarray:
+    return jnp.flip(clip, axis=-2)
+
+
+def random_hflip(key: jax.Array, clip: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    flip = jax.random.bernoulli(key, p)
+    return jnp.where(flip, hflip_clip(clip), clip)
+
+
+def random_crop_clip(key: jax.Array, clip: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Consistent random crop across a (T, H, W, C) clip (static output shape)."""
+    t, h, w, c = clip.shape
+    top = jax.random.randint(key, (), 0, h - size + 1)
+    left = jax.random.randint(jax.random.fold_in(key, 1), (), 0, w - size + 1)
+    return jax.lax.dynamic_slice(clip, (0, top, left, 0), (t, size, size, c))
+
+
+def resize_bicubic(clip: jnp.ndarray, size: int) -> jnp.ndarray:
+    t, _, _, c = clip.shape
+    return jax.image.resize(clip, (t, size, size, c), method="cubic")
+
+
+def _grayscale(x: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.array([0.299, 0.587, 0.114], x.dtype)
+    return (x * w).sum(-1, keepdims=True)
+
+
+def _blend(a: jnp.ndarray, b: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0)
+
+
+def color_jitter(key: jax.Array, clip01: jnp.ndarray,
+                 brightness: float = 0.5, contrast: float = 0.5,
+                 saturation: float = 0.5, hue: float = 0.5) -> jnp.ndarray:
+    """torchvision-range color jitter on a [0,1] float clip, one draw per clip."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    x = clip01
+    if brightness:
+        f = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness), maxval=1 + brightness)
+        x = _blend(x, jnp.zeros_like(x), f)
+    if contrast:
+        f = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
+        mean = _grayscale(x).mean(axis=(-3, -2, -1), keepdims=True)
+        x = _blend(x, mean, f)
+    if saturation:
+        f = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
+        x = _blend(x, _grayscale(x), f)
+    if hue:
+        shift = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+        x = _hue_shift(x, shift)
+    return x
+
+
+def _hue_shift(x: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Shift hue by `shift` (fraction of the full circle) via HSV round-trip."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    rng_ = maxc - minc
+    s = jnp.where(maxc > 0, rng_ / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(rng_, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(rng_ == 0, 0.0, h)
+    h = (h + shift) % 1.0
+    # HSV -> RGB
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g2 = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b2 = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r2, g2, b2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size",))
+def augment_train_batch(key: jax.Array, clips_uint8: jnp.ndarray, image_size: int = 224):
+    """Device-side training augmentation for a (B, T, S, S, 3) uint8 batch.
+
+    Returns (view1, view2), both ImageNet-normalized float32:
+      view1 = random hflip of the host-cropped clip;
+      view2 = RandomCrop(0.7*size) -> ColorJitter(.5,.5,.5,.5)
+              -> bicubic resize to size -> random hflip, built from view1.
+    """
+    b = clips_uint8.shape[0]
+    crop_size = int(image_size * 0.7)
+
+    def one(key, clip):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        v1 = random_hflip(k1, clip.astype(jnp.float32) / 255.0)
+        v2 = random_crop_clip(k2, v1, crop_size)
+        v2 = color_jitter(k3, v2)
+        v2 = resize_bicubic(v2, image_size)
+        v2 = random_hflip(k4, jnp.clip(v2, 0.0, 1.0))
+        return v1, v2
+
+    keys = jax.random.split(key, b)
+    v1, v2 = jax.vmap(one)(keys, clips_uint8)
+    norm = lambda x: (x - IMAGENET_MEAN) / IMAGENET_STD
+    return norm(v1), norm(v2)

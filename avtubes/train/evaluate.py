@@ -1,0 +1,105 @@
+"""Evaluation loops: hard-way test (cIoU/AUC) and per-frame test (cIoU/AUC/mTC).
+
+Protocol parity (`train_hardway.py:164-239`, `test.py:87-172`):
+  * heatmaps come from the jitted eval step, are upsampled 14->224 bilinear,
+    min-max normalized and binarized at the median pixel ON DEVICE in batch
+    (heatmap_to_mask_batch), then compared to rasterized GT on host;
+  * hard-way test: one frame per video, cIoU@0.5 fraction + 21-point AUC;
+  * per-frame test: every sampling_rate-th frame of each test video, per-video
+    cIoU@0.5/AUC averaged over videos, plus mTC between consecutive preds.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from avtubes.core.config import DataConfig
+from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
+from avtubes.data.transforms import normalize_imagenet
+from avtubes.evaluation import (
+    auc_from_ciou,
+    ciou_single,
+    flickr_gt_from_xml,
+    heatmap_to_mask_batch,
+    mtc,
+    vggss_gt_from_bboxes,
+)
+from avtubes.train.steps import eval_heatmap_step
+
+
+def make_gt_lookup(data_cfg: DataConfig, per_frame: bool = False,
+                   vggss_index: dict | None = None) -> Callable[[str, int | None], np.ndarray]:
+    """Returns gt(video_id, frame_or_None) -> 224x224 map."""
+    gt_dir = Path(data_cfg.gt_path if per_frame else data_cfg.og_gt_path)
+
+    def lookup(vid: str, frame: int | None = None) -> np.ndarray:
+        if data_cfg.testset == "vggss":
+            assert vggss_index is not None, "vggss eval requires the vggss.json index"
+            return vggss_gt_from_bboxes(vggss_index[vid])
+        name = f"{vid}_{frame}.xml" if frame is not None else f"{vid}.xml"
+        return flickr_gt_from_xml(gt_dir / name, per_frame=frame is not None)
+
+    return lookup
+
+
+def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
+                     gt_lookup, epoch: int = 0) -> dict[str, float]:
+    """249-image hard-way test: cIoU@0.5 + AUC (`train_hardway.py:208-239`)."""
+    cious = []
+    for batch in loader.epoch(epoch):
+        frames = normalize_imagenet(jnp.asarray(batch["frame"]))
+        spec = log_spectrogram(jnp.asarray(batch["waveform"]), spec_cfg)[..., None]
+        heat = eval_heatmap_step(state, frames, spec)
+        masks = np.asarray(heatmap_to_mask_batch(heat))
+        for i, vid in enumerate(batch["id"]):
+            gt = gt_lookup(vid, None)
+            cious.append(ciou_single(masks[i], gt, 0.5))
+    cious = np.asarray(cious)
+    return {
+        "hardway_ciou": float(np.mean(cious >= 0.5)),
+        "hardway_auc": auc_from_ciou(cious),
+        "hardway_n": int(cious.size),
+    }
+
+
+def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
+                      gt_lookup) -> dict[str, float]:
+    """Whole-video per-frame eval with mTC (`train_hardway.py:164-207`).
+
+    `source` yields {"clip": (T,224,224,3) uint8, "waveform", "id"} per video.
+    Frames i = sampling_rate, i+sampling_rate, ... < T-1 are scored; a video
+    shorter than one stride is skipped.
+    """
+    ious, aucs, mtcs = [], [], []
+    stride = data_cfg.sampling_rate
+    for vi in range(len(source)):
+        try:
+            sample = source.load(vi)
+        except Exception as e:  # skip-and-count decode policy
+            print(f"[eval] skipping {vi}: {e}")
+            continue
+        clip = sample["clip"]
+        idxs = list(range(stride, clip.shape[0] - 1, stride))
+        if not idxs:
+            continue
+        frames = normalize_imagenet(jnp.asarray(clip[idxs]))
+        spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
+        spec = jnp.tile(spec1, (len(idxs), 1, 1, 1))
+        heat = eval_heatmap_step(state, frames, spec)
+        masks = np.asarray(heatmap_to_mask_batch(heat))
+        iou = [ciou_single(masks[j], gt_lookup(sample["id"], fi), 0.5)
+               for j, fi in enumerate(idxs)]
+        ious.append(float(np.mean(np.asarray(iou) >= 0.5)))
+        aucs.append(auc_from_ciou(np.asarray(iou)))
+        mtcs.append(mtc([masks[j] for j in range(len(idxs))]))
+    if not ious:
+        return {"test_ciou": float("nan"), "test_auc": float("nan"), "test_mtc": float("nan")}
+    return {
+        "test_ciou": float(np.mean(ious)),
+        "test_auc": float(np.mean(aucs)),
+        "test_mtc": float(np.nanmean(mtcs)),
+    }

@@ -1,0 +1,129 @@
+"""The flagship 16-frame hard-way trainer (train_hardway.py equivalent).
+
+Epoch loop = {train, hard-way test, (optional) per-frame test, checkpoint},
+mirroring `/root/reference/train_hardway.py:121-247` with the TPU dataflow:
+
+  host threads decode JPEG clips + WAVs ->
+  device prefetch ->
+  one jit program per step: log-spectrogram (DFT matmuls) + two-view
+  augmentation + both backbones + hard-way head + 4-term loss + Adam update.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from avtubes.core.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from avtubes.core.config import ExperimentConfig
+from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
+from avtubes.data.index import load_split
+from avtubes.data.pipeline import (
+    BatchLoader,
+    ClipTrainSource,
+    HardwayTestSource,
+    SyntheticSource,
+    device_prefetch,
+)
+from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
+from avtubes.data.transforms import augment_train_batch
+from avtubes.models import AVENet
+from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup
+from avtubes.train.state import create_train_state
+from avtubes.train.steps import hardway_train_step
+from avtubes.utils.logging import MetricLogger
+
+
+def build_model(cfg: ExperimentConfig) -> AVENet:
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    return AVENet(hardway=cfg.hardway, dtype=dtype)
+
+
+def build_sources(cfg: ExperimentConfig):
+    d = cfg.data
+    if d.synthetic:
+        train_src = SyntheticSource(d, n=max(4 * cfg.optim.batch_size, 8))
+        test_src = SyntheticSource(d, n=8, clip=False, seed=1)
+        return train_src, test_src
+    train_ids = load_split(d.metadata_dir, d.testset, "train", d.subset)
+    test_ids = load_split(d.metadata_dir, d.testset, "test_hardway")
+    train_src = ClipTrainSource(d.data_path, train_ids, d)
+    test_src = HardwayTestSource(d.og_data_path or d.data_path, test_ids, d)
+    return train_src, test_src
+
+
+def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
+        do_eval: bool = True) -> dict:
+    model = build_model(cfg)
+    d, o = cfg.data, cfg.optim
+    spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
+
+    train_src, test_src = build_sources(cfg)
+    loader = BatchLoader(train_src, o.batch_size, num_workers=d.n_threads,
+                         shuffle=True, seed=cfg.train.seed)
+    steps_per_epoch = max(1, len(loader) if steps_cap == 0 else min(len(loader), steps_cap))
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    init_img = jnp.zeros((2, d.image_size, d.image_size, 3))
+    init_aud = jnp.zeros((2, *spec_cfg.shape, 1))
+    state = create_train_state(model, rng, (init_img, init_aud), o, steps_per_epoch)
+
+    mesh = make_data_mesh(o.batch_size)
+    state = replicate(mesh, state)
+
+    start_epoch = 0
+    if cfg.train.use_pretrained:
+        ckpt = cfg.train.pretrained_path or latest_checkpoint(cfg.train.summaries_dir, tag)
+        if ckpt:
+            state, start_epoch = restore_checkpoint(ckpt, state)
+            start_epoch += 1
+            print(f"[train] resumed from {ckpt} at epoch {start_epoch}")
+
+    logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
+    last_metrics: dict = {}
+    for epoch in range(start_epoch, o.epochs):
+        aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 1), epoch)
+        step_in_epoch = 0
+        for batch in device_prefetch(loader.epoch(epoch), depth=d.prefetch,
+                                     put=lambda x: shard_batch(mesh, x)):
+            if steps_cap and step_in_epoch >= steps_cap:
+                break
+            spec = log_spectrogram(batch["waveform"], spec_cfg)[..., None]
+            v1, v2 = augment_train_batch(
+                jax.random.fold_in(aug_key, step_in_epoch), batch["clip"], d.image_size)
+            state, metrics = hardway_train_step(state, v1, v2, spec, o.loss_weight)
+            step_in_epoch += 1
+            if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in metrics.items()})
+        last_metrics = {k: float(v) for k, v in metrics.items()}
+
+        if do_eval:
+            test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
+                                      num_workers=d.n_threads, shuffle=False,
+                                      drop_last=False)
+            if d.synthetic:
+                gt_lookup = _synthetic_gt_lookup()
+            else:
+                gt_lookup = make_gt_lookup(d)
+            eval_metrics = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,
+                                            epoch=epoch)
+            last_metrics.update(eval_metrics)
+            logger.log(step=int(state.step), epoch=epoch, **eval_metrics)
+
+        if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+            save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
+
+    logger.close()
+    last_metrics["skipped_samples"] = loader.skipped
+    return last_metrics
+
+
+def _synthetic_gt_lookup():
+    """Center-box GT for synthetic smoke runs (matches synthetic.py's XML box)."""
+    import numpy as np
+
+    gt = np.zeros((224, 224))
+    lo, hi = int(224 * 64 / 256), int(224 * 192 / 256)
+    gt[lo:hi, lo:hi] = 1.0
+    return lambda vid, frame=None: gt

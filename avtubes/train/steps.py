@@ -105,6 +105,47 @@ def hardway_1frame_train_step(
 
 
 @jax.jit
+def train3d_step(
+    state: AVTrainState,
+    video: jnp.ndarray,    # (B, T, H, W, 3) clip
+    spec: jnp.ndarray,     # (B, F, Tt, 1) per-clip log-spectrogram
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    """3D tube training: hard-way CE over (b·t); NP-ratio logged, not
+    backpropagated (working-path semantics of `train_3D.py:126-139`, where
+    only the CE term reaches backward())."""
+    from avtubes.losses import np_ratio_loss
+
+    b, t = video.shape[:2]
+    spec_f = jnp.repeat(spec, t, axis=0)
+
+    def loss_fn(params):
+        out, mut = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            spec_f, video, train=True, mutable=["batch_stats"],
+        )
+        loss = hardway_loss(out.logits)
+        heat = out.heatmap.reshape(b, t, *out.heatmap.shape[1:])
+        np_ratio = jax.lax.stop_gradient(np_ratio_loss(heat))
+        return loss, (mut["batch_stats"], {"loss": loss, "np_ratio": np_ratio})
+
+    grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, metrics
+
+
+@jax.jit
+def eval3d_heatmap_step(state: AVTrainState, video: jnp.ndarray, spec: jnp.ndarray):
+    """3D inference: (B,T,H,W,3)+(B,F,Tt,1) -> (B, T, h, w) heatmaps."""
+    b, t = video.shape[:2]
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.repeat(spec, t, axis=0), video, train=False,
+    )
+    return out.heatmap.reshape(b, t, *out.heatmap.shape[1:])
+
+
+@jax.jit
 def eval_heatmap_step(state: AVTrainState, frames: jnp.ndarray, spec: jnp.ndarray):
     """Inference: (B,H,W,3)+(B,F,T,1) -> raw (B,14,14) heatmaps (no BN update)."""
     out = state.apply_fn(

@@ -1,0 +1,73 @@
+"""3D tube trainer (train_3D.py equivalent): FullModel over 16-frame clips.
+
+Epoch loop = {train (hard-way CE over (b·t), NP-ratio logged), hard-way
+test with the 2D-style per-frame protocol, checkpoint} — mirroring the
+working-path semantics of `/root/reference/train_3D.py:83-267`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from avtubes.core.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from avtubes.core.config import ExperimentConfig
+from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
+from avtubes.data.pipeline import BatchLoader, device_prefetch
+from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
+from avtubes.data.transforms import augment_train_batch
+from avtubes.models import FullModel
+from avtubes.train.hardway import build_sources
+from avtubes.train.state import create_train_state
+from avtubes.train.steps import train3d_step
+from avtubes.utils.logging import MetricLogger
+
+
+def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d") -> dict:
+    d, o = cfg.data, cfg.optim
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    model = FullModel(hardway=cfg.hardway, dtype=dtype)
+    spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
+
+    train_src, _ = build_sources(cfg)
+    loader = BatchLoader(train_src, o.batch_size, num_workers=d.n_threads,
+                         shuffle=True, seed=cfg.train.seed)
+    steps_per_epoch = max(1, len(loader) if steps_cap == 0 else min(len(loader), steps_cap))
+
+    t = max(d.frame_density, 1)
+    init_video = jnp.zeros((1, t, d.image_size, d.image_size, 3))
+    init_audio = jnp.zeros((t, *spec_cfg.shape, 1))
+    state = create_train_state(model, jax.random.PRNGKey(cfg.train.seed),
+                               (init_audio, init_video), o, steps_per_epoch)
+    mesh = make_data_mesh(o.batch_size)
+    state = replicate(mesh, state)
+
+    start_epoch = 0
+    if cfg.train.use_pretrained:
+        ckpt = cfg.train.pretrained_path or latest_checkpoint(cfg.train.summaries_dir, tag)
+        if ckpt:
+            state, start_epoch = restore_checkpoint(ckpt, state)
+            start_epoch += 1
+
+    logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
+    last: dict = {}
+    for epoch in range(start_epoch, o.epochs):
+        aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 2), epoch)
+        step_in_epoch = 0
+        for batch in device_prefetch(loader.epoch(epoch), depth=d.prefetch,
+                                     put=lambda x: shard_batch(mesh, x)):
+            if steps_cap and step_in_epoch >= steps_cap:
+                break
+            spec = log_spectrogram(batch["waveform"], spec_cfg)[..., None]
+            v1, _ = augment_train_batch(
+                jax.random.fold_in(aug_key, step_in_epoch), batch["clip"], d.image_size)
+            state, metrics = train3d_step(state, v1, spec)
+            step_in_epoch += 1
+            if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in metrics.items()})
+        last = {k: float(v) for k, v in metrics.items()}
+        if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+            save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
+    logger.close()
+    return last

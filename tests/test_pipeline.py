@@ -1,0 +1,126 @@
+"""Input pipeline tests: index, sampler, transforms, loaders on a synthetic dataset."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avtubes.core.config import DataConfig
+from avtubes.data.index import load_split
+from avtubes.data.pipeline import (
+    BatchLoader,
+    ClipTrainSource,
+    HardwayTestSource,
+    SyntheticSource,
+    device_prefetch,
+)
+from avtubes.data.sampler import sample_frame_indices
+from avtubes.data.synthetic import write_synthetic_dataset
+from avtubes.data.transforms import augment_train_batch, normalize_imagenet
+
+
+def test_sampler_matches_reference_semantics():
+    # long clip: centered, stride 16, no wrap needed
+    idx = sample_frame_indices(300, 16, 16)
+    assert len(idx) == 16
+    assert idx[7] == 134 and idx[8] == 150  # middle pair around length//2
+    assert idx == sorted(idx)
+    # short clip: virtual doubling + wrap
+    idx2 = sample_frame_indices(20, 16, 16)
+    assert len(idx2) == 16
+    assert all(0 <= i < 20 for i in idx2)
+
+
+def test_sampler_single_frame():
+    idx = sample_frame_indices(100, 2, 2)
+    assert len(idx) == 2
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    ids = write_synthetic_dataset(root, n_videos=4, frames=4)
+    return root, ids
+
+
+def test_index_reads_synthetic_metadata(dataset):
+    root, ids = dataset
+    assert load_split(root / "metadata", "flickr", "train", subset=5) == ids
+    assert load_split(root / "metadata", "flickr", "test_hardway") == ids
+
+
+def test_clip_train_source_shapes(dataset):
+    root, ids = dataset
+    cfg = DataConfig(frame_density=4, samplerate=22050)
+    src = ClipTrainSource(root, ids, cfg)
+    rng = np.random.RandomState(0)
+    s = src.load(0, rng)
+    assert s["clip"].shape == (4, 224, 224, 3)
+    assert s["clip"].dtype == np.uint8
+    assert s["waveform"].shape == (22050 * 10,)
+    assert np.abs(s["waveform"]).max() <= 1.0
+
+
+def test_hardway_test_source(dataset):
+    root, ids = dataset
+    cfg = DataConfig()
+    src = HardwayTestSource(root, ids, cfg)
+    s = src.load(1)
+    assert s["frame"].shape == (224, 224, 3)
+
+
+def test_batch_loader_deterministic_and_complete(dataset):
+    root, ids = dataset
+    cfg = DataConfig(frame_density=4)
+    src = ClipTrainSource(root, ids, cfg)
+    loader = BatchLoader(src, batch_size=2, num_workers=3, shuffle=True, seed=7)
+    batches1 = list(loader.epoch(0))
+    batches2 = list(BatchLoader(src, batch_size=2, num_workers=1, shuffle=True, seed=7).epoch(0))
+    assert len(batches1) == 2
+    seen = [i for b in batches1 for i in b["id"]]
+    assert sorted(seen) == sorted(ids)
+    # worker count must not change the stream (order preserved by position)
+    for b1, b2 in zip(batches1, batches2):
+        assert b1["id"] == b2["id"]
+        np.testing.assert_array_equal(b1["clip"], b2["clip"])
+
+
+def test_batch_loader_skips_bad_samples(dataset):
+    root, ids = dataset
+    cfg = DataConfig(frame_density=4)
+    src = ClipTrainSource(root, ids + ["missing_id"], cfg)
+    loader = BatchLoader(src, batch_size=2, num_workers=2, shuffle=False, drop_last=False)
+    batches = list(loader.epoch(0))
+    assert loader.skipped == 1
+    assert sum(len(b["id"]) for b in batches) == len(ids)
+
+
+def test_device_prefetch_passthrough():
+    cfg = DataConfig(image_size=32, frame_density=2)
+    src = SyntheticSource(cfg, n=6)
+    loader = BatchLoader(src, batch_size=2, num_workers=2, shuffle=False)
+    out = list(device_prefetch(loader.epoch(0), depth=2))
+    assert len(out) == 3
+    assert isinstance(out[0]["clip"], jax.Array)
+
+
+def test_augment_train_batch_shapes_and_range():
+    rng = np.random.RandomState(0)
+    clips = rng.randint(0, 256, (2, 4, 224, 224, 3), dtype=np.uint8)
+    v1, v2 = augment_train_batch(jax.random.PRNGKey(0), jnp.asarray(clips))
+    assert v1.shape == (2, 4, 224, 224, 3)
+    assert v2.shape == (2, 4, 224, 224, 3)
+    # ImageNet-normalized range
+    for v in (v1, v2):
+        v = np.asarray(v)
+        assert v.min() > -3.0 and v.max() < 3.5
+    # different keys give different augmentation
+    v1b, _ = augment_train_batch(jax.random.PRNGKey(1), jnp.asarray(clips))
+    assert not np.allclose(np.asarray(v1), np.asarray(v1b))
+
+
+def test_normalize_imagenet_values():
+    x = jnp.full((1, 2, 2, 3), 255.0)
+    out = np.asarray(normalize_imagenet(x))
+    expected = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
