@@ -1,0 +1,18 @@
+"""CLI: single-frame hard-way training (reference `train_hardway_1frame.py`).
+
+Smoke:  python -m avtubes.cli.train_hardway_1frame --synthetic --steps 2 \
+            --epochs 1 --batch_size 2
+"""
+
+from avtubes.core.config import ExperimentConfig
+from avtubes.train.hardway_1frame import run
+
+
+def main(argv=None):
+    cfg = ExperimentConfig.from_args(argv)
+    metrics = run(cfg, steps_cap=getattr(cfg, "_steps_cap", 0))
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

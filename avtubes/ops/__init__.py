@@ -1,0 +1,6 @@
+"""Custom ops: correlation cost volume, bilinear warp, fused STFT (Pallas/XLA)."""
+
+from avtubes.ops.correlation import correlation_cost_volume
+from avtubes.ops.warp import flow_warp, grid_sample
+
+__all__ = ["correlation_cost_volume", "flow_warp", "grid_sample"]
