@@ -1,0 +1,57 @@
+"""CLI: center-Gaussian prior baseline sweep (test_hardway_dataset.py parity).
+
+The reference's metric-pipeline sanity harness
+(`/root/reference/test_hardway_dataset.py`): score a centered 2D Gaussian
+prior (std 1..10 over a 14x14 grid, upsampled like a model heatmap) against
+the hard-way test GT, and print the numbers next to the quoted SOTA
+(cIoU 0.7349, AUC 0.5778 for the LVS checkpoint).
+
+    python -m avtubes.cli.baseline_gaussian --testset flickr \
+        --og_data_path ... --og_gt_path ...
+    python -m avtubes.cli.baseline_gaussian --synthetic    # smoke
+"""
+
+import numpy as np
+
+from avtubes.core.config import ExperimentConfig
+from avtubes.data.index import load_split
+from avtubes.data.pipeline import HardwayTestSource, SyntheticSource
+from avtubes.evaluation import auc_from_ciou, ciou_single, heatmap_to_mask
+from avtubes.train.evaluate import make_gt_lookup
+from avtubes.train.hardway import _synthetic_gt_lookup
+
+SOTA_CIOU = 0.7349397590361446  # test_hardway_dataset.py:88
+SOTA_AUC = 0.5778112449799198   # test_hardway_dataset.py:89
+
+
+def gaussian_heatmap(std: float, size: int = 14) -> np.ndarray:
+    g1 = np.exp(-0.5 * ((np.arange(size) - (size - 1) / 2) / std) ** 2)
+    return np.outer(g1, g1)
+
+
+def main(argv=None):
+    cfg = ExperimentConfig.from_args(argv)
+    d = cfg.data
+    if d.synthetic:
+        ids = [f"synthetic_{i}" for i in range(8)]
+        gt_lookup = _synthetic_gt_lookup()
+    else:
+        ids = load_split(d.metadata_dir, d.testset, "test_hardway")
+        gt_lookup = make_gt_lookup(d)
+
+    print(f"quoted SOTA (LVS): cIoU {SOTA_CIOU}  AUC {SOTA_AUC}")
+    best = (0.0, 0.0, 0)
+    for std in range(1, 11):
+        mask = heatmap_to_mask(gaussian_heatmap(std))
+        cious = np.asarray([ciou_single(mask, gt_lookup(v, None), 0.5) for v in ids])
+        ciou = float(np.mean(cious >= 0.5))
+        auc = auc_from_ciou(cious)
+        print(f"std {std:2d}: cIoU@0.5 {ciou:.4f}  AUC {auc:.4f}")
+        if ciou > best[0]:
+            best = (ciou, auc, std)
+    print(f"best: std={best[2]} cIoU {best[0]:.4f} AUC {best[1]:.4f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -24,8 +24,13 @@ _XML = """<annotation><object>
 
 def write_synthetic_dataset(root: str | Path, n_videos: int = 4, frames: int = 16,
                             samplerate: int = 22050, seconds: int = 2,
-                            image_hw: tuple[int, int] = (256, 320), seed: int = 0) -> list[str]:
-    """Create a tiny but structurally complete dataset; returns the video ids."""
+                            image_hw: tuple[int, int] = (256, 320), seed: int = 0,
+                            mp4: bool = False) -> list[str]:
+    """Create a tiny but structurally complete dataset; returns the video ids.
+
+    mp4=True additionally writes `videos/<id>.mp4` (cv2) so the per-frame
+    whole-video eval path (`PerFrameEvalSource`) is exercised.
+    """
     from PIL import Image
 
     root = Path(root)
@@ -39,10 +44,20 @@ def write_synthetic_dataset(root: str | Path, n_videos: int = 4, frames: int = 1
         vdir = root / "videos" / vid
         vdir.mkdir(parents=True, exist_ok=True)
         base = rng.randint(0, 200, (h, w, 3)).astype(np.uint8)
+        clip = []
         for i in range(frames):
             img = np.clip(base.astype(np.int32) + rng.randint(-20, 20), 0, 255).astype(np.uint8)
+            clip.append(img)
             Image.fromarray(img).save(vdir / f"{i}.jpg", quality=90)
         Image.fromarray(base).save(root / "frames" / f"{vid}.jpg", quality=90)
+        if mp4:
+            import cv2
+
+            writer = cv2.VideoWriter(str(root / "videos" / f"{vid}.mp4"),
+                                     cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+            for img in clip:
+                writer.write(img[:, :, ::-1])  # RGB -> BGR
+            writer.release()
         (root / "audio").mkdir(exist_ok=True)
         t = np.arange(samplerate * seconds) / samplerate
         freq = rng.uniform(100, 1000)

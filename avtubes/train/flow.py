@@ -1,0 +1,122 @@
+"""Flow-guided consistency trainer (flow.py equivalent).
+
+Reference mechanics (`/root/reference/flow.py:127-161`): AVENet heatmaps on
+consecutive frames; FlowNet2 flow between the frame pairs; heatmap[t]
+warped along the flow and compared to heatmap[t+1].  In the reference the
+comparison is computed but never backpropagated — only the hard-way CE
+reaches backward() (`flow.py:158-160`).
+
+Here the flow-consistency term is functional and gated by
+`flow_loss_weight`: 0.0 reproduces the reference's effective objective
+(CE only, warp metric logged); > 0 adds an L1 warp-consistency loss on the
+*soft* Pos maps (binarized maps, which the reference warps, have no
+gradient).  The flow net is our FlowNetLite (Pallas correlation inside),
+trained jointly or frozen.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from avtubes.core.checkpoint import save_checkpoint
+from avtubes.core.config import ExperimentConfig
+from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
+from avtubes.data.pipeline import BatchLoader, device_prefetch
+from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
+from avtubes.data.transforms import augment_train_batch
+from avtubes.losses import hardway_loss
+from avtubes.models.flownet import FlowNetLite
+from avtubes.ops.warp import flow_warp
+from avtubes.train.hardway import build_model, build_sources
+from avtubes.train.state import create_train_state
+from avtubes.utils.logging import MetricLogger
+
+
+@functools.partial(jax.jit, static_argnames=("flow_loss_weight",),
+                   donate_argnums=(0,))
+def flow_train_step(state, flow_variables, frames, spec,
+                    flow_loss_weight: float = 0.0):
+    """frames (B,T,H,W,3), spec (B,F,Tt,1); flow net frozen within the step."""
+    b, t = frames.shape[:2]
+    frames_f = frames.reshape(b * t, *frames.shape[2:])
+    spec_f = jnp.repeat(spec, t, axis=0)
+
+    # flow between consecutive frame pairs (no grad into the flow net here)
+    im1 = frames[:, :-1].reshape(b * (t - 1), *frames.shape[2:])
+    im2 = frames[:, 1:].reshape(b * (t - 1), *frames.shape[2:])
+    flow = FlowNetLite().apply(flow_variables, im1, im2)
+    flow = jax.lax.stop_gradient(flow)
+
+    def loss_fn(params):
+        out, mut = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            frames_f, spec_f, train=True, mutable=["batch_stats"],
+        )
+        ce = hardway_loss(out.logits)
+        pos = out.pos.reshape(b, t, *out.pos.shape[1:])          # (B,T,h,w)
+        h, w = pos.shape[2:]
+        # downsample the flow to heatmap resolution, rescale magnitudes
+        flow_hw = jax.image.resize(
+            flow, (b * (t - 1), h, w, 2), method="linear"
+        ) * (h / frames.shape[2])
+        prev = pos[:, :-1].reshape(b * (t - 1), h, w, 1)
+        nxt = pos[:, 1:].reshape(b * (t - 1), h, w, 1)
+        warped = flow_warp(prev, flow_hw)
+        warp_l1 = jnp.abs(warped - nxt).mean()
+        loss = ce + flow_loss_weight * warp_l1
+        metrics = {"loss": loss, "hardway_loss": ce, "warp_consistency": warp_l1}
+        return loss, (mut["batch_stats"], metrics)
+
+    grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, metrics
+
+
+def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
+        flow_loss_weight: float = 0.0) -> dict:
+    d, o = cfg.data, cfg.optim
+    model = build_model(cfg)
+    spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
+
+    train_src, _ = build_sources(cfg)
+    loader = BatchLoader(train_src, o.batch_size, num_workers=d.n_threads,
+                         shuffle=True, seed=cfg.train.seed)
+    state = create_train_state(
+        model, jax.random.PRNGKey(cfg.train.seed),
+        (jnp.zeros((2, d.image_size, d.image_size, 3)),
+         jnp.zeros((2, *spec_cfg.shape, 1))),
+        o, max(1, len(loader)))
+    flow_variables = jax.jit(FlowNetLite().init)(
+        jax.random.PRNGKey(cfg.train.seed + 7),
+        jnp.zeros((1, d.image_size, d.image_size, 3)),
+        jnp.zeros((1, d.image_size, d.image_size, 3)))
+
+    mesh = make_data_mesh(o.batch_size)
+    state = replicate(mesh, state)
+    flow_variables = replicate(mesh, flow_variables)
+
+    logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
+    last: dict = {}
+    for epoch in range(o.epochs):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 4), epoch)
+        step_in_epoch = 0
+        for batch in device_prefetch(loader.epoch(epoch), depth=d.prefetch,
+                                     put=lambda x: shard_batch(mesh, x)):
+            if steps_cap and step_in_epoch >= steps_cap:
+                break
+            spec = log_spectrogram(batch["waveform"], spec_cfg)[..., None]
+            v1, _ = augment_train_batch(
+                jax.random.fold_in(key, step_in_epoch), batch["clip"], d.image_size)
+            state, metrics = flow_train_step(state, flow_variables, v1, spec,
+                                             flow_loss_weight=flow_loss_weight)
+            step_in_epoch += 1
+            logger.log(step=int(state.step), epoch=epoch,
+                       **{k: float(v) for k, v in metrics.items()})
+        last = {k: float(v) for k, v in metrics.items()}
+        save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
+    logger.close()
+    return last

@@ -111,6 +111,24 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             last_metrics.update(eval_metrics)
             logger.log(step=int(state.step), epoch=epoch, **eval_metrics)
 
+            # per-frame whole-video test block (`train_hardway.py:164-207`):
+            # runs when the mp4 test videos + per-frame GT dir are present
+            if not d.synthetic and d.gt_path:
+                from pathlib import Path
+
+                from avtubes.data.pipeline import PerFrameEvalSource
+                from avtubes.train.evaluate import evaluate_perframe
+
+                test_ids = load_split(d.metadata_dir, d.testset, "test")
+                video_root = Path(d.data_path)
+                if (video_root / "videos").exists():
+                    pf_src = PerFrameEvalSource(video_root, test_ids, d)
+                    pf = evaluate_perframe(
+                        state, pf_src, d, spec_cfg,
+                        make_gt_lookup(d, per_frame=True))
+                    last_metrics.update(pf)
+                    logger.log(step=int(state.step), epoch=epoch, **pf)
+
         if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
             save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
 

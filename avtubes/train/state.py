@@ -45,7 +45,9 @@ def create_train_state(
     optim_cfg: OptimConfig,
     steps_per_epoch: int = 1,
 ) -> AVTrainState:
-    variables = model.init(rng, *sample_inputs, train=False)
+    # jit the init: eager init dispatches each op separately, which is
+    # pathological over a remote-device tunnel (hundreds of round trips)
+    variables = jax.jit(lambda r, *a: model.init(r, *a, train=False))(rng, *sample_inputs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(optim_cfg, steps_per_epoch)
