@@ -36,10 +36,14 @@ def _stft_kernel(frames_ref, cos_ref, sin_ref, scale_ref, out_ref, *,
                  log_offset: float, inv_std: float):
     frames = frames_ref[0]                                   # (tile, nperseg)
     frames = frames - frames.mean(axis=1, keepdims=True)     # constant detrend
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    # fp32 passes: default bf16 MXU inputs cost ~1e-3 in the log-spectrogram
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, cos_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
     power = (re * re + im * im) * scale_ref[:]
-    out_ref[0] = jnp.log(power + log_offset) * inv_std
+    # write transposed: the (F, T) scipy layout comes out of VMEM for free
+    # instead of a separate 113 MB HBM transpose pass
+    out_ref[0] = (jnp.log(power + log_offset) * inv_std).T
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -70,9 +74,9 @@ def _log_spectrogram_pallas(x: jnp.ndarray, cfg: SpectrogramConfig,
             pl.BlockSpec((1, nfreq), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, nfreq), lambda bi, ti: (bi, ti, 0),
+        out_specs=pl.BlockSpec((1, nfreq, tile), lambda bi, ti: (bi, 0, ti),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, padded_t, nfreq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nfreq, padded_t), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * padded_t * nper * nfreq,
             bytes_accessed=4 * b * (padded_t * nper + padded_t * nfreq),
@@ -80,12 +84,12 @@ def _log_spectrogram_pallas(x: jnp.ndarray, cfg: SpectrogramConfig,
         ),
     )(frames, jnp.asarray(cosm, jnp.float32), jnp.asarray(sinm, jnp.float32),
       jnp.asarray(scale, jnp.float32))
-    return jnp.swapaxes(out[:, :t, :], -1, -2)               # (B, F, T)
+    return out[:, :, :t]                                     # (B, F, T)
 
 
 def log_spectrogram_fused(x: jnp.ndarray,
                           cfg: SpectrogramConfig = SpectrogramConfig(),
-                          tile: int = 128) -> jnp.ndarray:
+                          tile: int = 512) -> jnp.ndarray:
     """Batched (B, num_samples) -> (B, F, T) log-spectrogram, Pallas-fused on
     TPU; falls back to the pure-XLA implementation elsewhere."""
     default = jax.config.jax_default_device
