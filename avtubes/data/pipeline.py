@@ -38,6 +38,32 @@ class SkippedSampleError(Exception):
     """Raised by sources for undecodable samples; the loader skips + counts."""
 
 
+def load_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
+    """Decode + prepare a WAV to exactly samplerate*seconds float32 samples.
+
+    Prefers the native C++ decoder (avtubes.native: threaded RIFF parse +
+    downmix/tile/clip into the fixed buffer); falls back to the numpy path.
+    Files whose samplerate differs from the dataset's nominal rate are
+    zero-padded/truncated to the nominal length so batches stay rectangular.
+    """
+    target = cfg.samplerate * cfg.audio_seconds
+    try:
+        from avtubes import native
+
+        if native.available():
+            out = native.decode_wav_prepared(path, cfg.audio_seconds, target)
+            if out is None:
+                raise SkippedSampleError(f"{path}: native WAV decode failed")
+            return out[0]
+    except ImportError:
+        pass
+    samples, sr = read_wav(path)
+    wav = prepare_waveform(samples, sr, cfg.audio_seconds).astype(np.float32)
+    if wav.shape[0] < target:
+        wav = np.pad(wav, (0, target - wav.shape[0]))
+    return wav[:target]
+
+
 class ClipTrainSource:
     """Training clips: `videos/<id>/{i}.jpg` frames + `audio/<id>.wav`."""
 
@@ -59,11 +85,10 @@ class ClipTrainSource:
             else:
                 paths = [frame_dir / f"{i}.jpg" for i in range(t)]
             clip = host_load_train_clip(paths, rng, self.cfg.image_size)
-            samples, sr = read_wav(self.root / "audio" / f"{vid}.wav")
-            wav = prepare_waveform(samples, sr, self.cfg.audio_seconds)
+            wav = load_prepared_wav(self.root / "audio" / f"{vid}.wav", self.cfg)
         except (OSError, ValueError) as e:
             raise SkippedSampleError(f"{vid}: {e}") from e
-        return {"clip": clip, "waveform": wav.astype(np.float32), "id": vid}
+        return {"clip": clip, "waveform": wav, "id": vid}
 
 
 class HardwayTestSource:
@@ -82,11 +107,10 @@ class HardwayTestSource:
         try:
             frame = host_load_eval_frame(self.root / "frames" / f"{vid}.jpg",
                                          self.cfg.image_size)
-            samples, sr = read_wav(self.root / "audio" / f"{vid}.wav")
-            wav = prepare_waveform(samples, sr, self.cfg.audio_seconds)
+            wav = load_prepared_wav(self.root / "audio" / f"{vid}.wav", self.cfg)
         except (OSError, ValueError) as e:
             raise SkippedSampleError(f"{vid}: {e}") from e
-        return {"frame": frame, "waveform": wav.astype(np.float32), "id": vid}
+        return {"frame": frame, "waveform": wav, "id": vid}
 
 
 class PerFrameEvalSource:
@@ -118,11 +142,10 @@ class PerFrameEvalSource:
             raise SkippedSampleError(f"{vid}: undecodable or single-frame video")
         clip = host_eval_clip(np.asarray(frames), self.cfg.image_size)
         try:
-            samples, sr = read_wav(self.audio_root / f"{vid}.wav")
-            wav = prepare_waveform(samples, sr, self.cfg.audio_seconds)
+            wav = load_prepared_wav(self.audio_root / f"{vid}.wav", self.cfg)
         except (OSError, ValueError) as e:
             raise SkippedSampleError(f"{vid}: {e}") from e
-        return {"clip": clip, "waveform": wav.astype(np.float32), "id": vid}
+        return {"clip": clip, "waveform": wav, "id": vid}
 
 
 class SyntheticSource:

@@ -34,6 +34,23 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 # ---------------------------------------------------------------- host side
 
+def open_rgb(path):
+    """Open an image as RGB PIL.Image, via the native libjpeg decoder when
+    available (threaded C++ decode, no PIL object churn), else PIL."""
+    from PIL import Image
+
+    try:
+        from avtubes import native
+
+        if str(path).lower().endswith((".jpg", ".jpeg")) and native.available():
+            arr = native.decode_jpeg(path)
+            if arr is not None:
+                return Image.fromarray(arr)
+    except ImportError:
+        pass
+    return Image.open(path).convert("RGB")
+
+
 def host_resize_shortest(img, size: int):
     """PIL aspect-preserving bicubic resize of the shortest side."""
     from PIL import Image
@@ -69,7 +86,7 @@ def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 22
     frames = []
     crop = None
     for p in paths:
-        img = host_resize_shortest(Image.open(p).convert("RGB"), target)
+        img = host_resize_shortest(open_rgb(p), target)
         arr = np.asarray(img)
         if crop is None:
             crop = host_random_crop_params(rng, arr.shape[0], arr.shape[1], image_size)
@@ -82,7 +99,7 @@ def host_load_eval_frame(path, image_size: int = 224) -> np.ndarray:
     """Decode -> shortest-side resize to size -> center crop.  uint8 (H, W, 3)."""
     from PIL import Image
 
-    img = host_resize_shortest(Image.open(path).convert("RGB"), image_size)
+    img = host_resize_shortest(open_rgb(path), image_size)
     return host_center_crop(np.asarray(img), image_size)
 
 

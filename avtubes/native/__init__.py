@@ -1,0 +1,146 @@
+"""ctypes bindings for the native IO core (libavtubes_io.so).
+
+Builds on first use if the shared library is missing (g++ + libjpeg are part
+of the toolchain); every entry point has a pure-Python fallback in
+avtubes.data, so the framework degrades gracefully without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libavtubes_io.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception as e:
+        print(f"[native] build failed ({e}); using Python IO fallbacks")
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.avt_decode_wav.restype = ctypes.c_int
+        lib.avt_decode_wav.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.avt_decode_wav_batch.restype = None
+        lib.avt_decode_wav_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.avt_jpeg_size.restype = ctypes.c_int
+        lib.avt_jpeg_size.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.avt_decode_jpeg.restype = ctypes.c_int
+        lib.avt_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int]
+        lib.avt_decode_jpeg_batch.restype = None
+        lib.avt_decode_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def decode_wav_prepared(path: str | Path, seconds: int,
+                        out_len: int) -> tuple[np.ndarray, int] | None:
+    """Decode + prepare one WAV into a fixed float32 buffer; None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(out_len, np.float32)
+    sr = lib.avt_decode_wav(str(path).encode(), seconds,
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                            out_len)
+    if sr == 0:
+        return None
+    return out, sr
+
+
+def decode_wav_batch(paths: list[str | Path], seconds: int, out_len: int,
+                     threads: int = 8) -> tuple[np.ndarray, np.ndarray] | None:
+    """Threaded batch decode+prepare -> ((n, out_len) float32, (n,) rates)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, out_len), np.float32)
+    rates = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.avt_decode_wav_batch(
+        arr, n, seconds, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_len, rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, rates
+
+
+def jpeg_size(path: str | Path) -> tuple[int, int] | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if not lib.avt_jpeg_size(str(path).encode(), ctypes.byref(h), ctypes.byref(w)):
+        return None
+    return h.value, w.value
+
+
+def decode_jpeg(path: str | Path) -> np.ndarray | None:
+    """Decode one JPEG to (H, W, 3) RGB uint8; None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    size = jpeg_size(path)
+    if size is None:
+        return None
+    h, w = size
+    out = np.empty((h, w, 3), np.uint8)
+    if not lib.avt_decode_jpeg(str(path).encode(),
+                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                               h, w):
+        return None
+    return out
+
+
+def decode_jpeg_batch(paths: list[str | Path], h: int, w: int,
+                      threads: int = 8) -> tuple[np.ndarray, np.ndarray] | None:
+    """Threaded decode of same-size JPEGs -> ((n,h,w,3) uint8, (n,) ok flags)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.avt_decode_jpeg_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, ok
