@@ -2,12 +2,16 @@
 
 Equivalent of the reference's `test.py` + `run_quantitative.sh` path: load a
 checkpoint, run the hard-way test loader (flickr 249-image set or VGGSS
-5158-clip set), print cIoU/AUC.
+5158-clip set), print cIoU/AUC.  `--use_activation` additionally scores the
+layer4 channel-mean activation map as an alternative predictor and keeps
+the per-sample max (test.py:102-140 semantics).
 
     python -m avtubes.cli.test_quantitative --testset flickr \
         --og_data_path ... --og_gt_path ... --summaries_dir ckpts/
     python -m avtubes.cli.test_quantitative --synthetic   # smoke
 """
+
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +28,10 @@ from avtubes.train.state import create_train_state
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    use_activation = "--use_activation" in argv
+    if use_activation:
+        argv.remove("--use_activation")
     cfg = ExperimentConfig.from_args(argv)
     d = cfg.data
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
@@ -53,10 +61,47 @@ def main(argv=None):
 
     loader = BatchLoader(src, batch_size=8, num_workers=d.n_threads,
                          shuffle=False, drop_last=False)
-    metrics = evaluate_hardway(state, loader, d, spec_cfg, gt_lookup)
+    if use_activation:
+        metrics = _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup)
+    else:
+        metrics = evaluate_hardway(state, loader, d, spec_cfg, gt_lookup)
     print(f"Hardway Test cIoU  {metrics['hardway_ciou']}")
     print(f"Hardway Test auc   {metrics['hardway_auc']}")
     return metrics
+
+
+def _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup):
+    """Score both the similarity heatmap and the image-feature channel-mean
+    activation map; keep max(ciou) per sample (test.py:102-140)."""
+    import numpy as np
+
+    from avtubes.data.spectrogram import log_spectrogram
+    from avtubes.data.transforms import normalize_imagenet
+    from avtubes.evaluation import auc_from_ciou, ciou_single, heatmap_to_mask_batch
+
+    @jax.jit
+    def both_maps(frames, spec):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out, feats = state.apply_fn(
+            variables, frames, spec, train=False,
+            method=lambda m, f, s, train: (m(f, s, train=train),
+                                           m.encode_image(f, train=train)))
+        return out.heatmap, feats.mean(axis=-1)
+
+    cious = []
+    for batch in loader.epoch(0):
+        frames = normalize_imagenet(jnp.asarray(batch["frame"]))
+        spec = log_spectrogram(jnp.asarray(batch["waveform"]), spec_cfg)[..., None]
+        heat, act = both_maps(frames, spec)
+        masks_h = np.asarray(heatmap_to_mask_batch(heat))
+        masks_a = np.asarray(heatmap_to_mask_batch(act))
+        for i, vid in enumerate(batch["id"]):
+            gt = gt_lookup(vid, None)
+            cious.append(max(ciou_single(masks_h[i], gt, 0.5),
+                             ciou_single(masks_a[i], gt, 0.5)))
+    cious = np.asarray(cious)
+    return {"hardway_ciou": float(np.mean(cious >= 0.5)),
+            "hardway_auc": auc_from_ciou(cious), "hardway_n": int(cious.size)}
 
 
 if __name__ == "__main__":
