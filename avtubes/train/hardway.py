@@ -25,12 +25,11 @@ from avtubes.data.pipeline import (
     SyntheticSource,
     device_prefetch,
 )
-from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
-from avtubes.data.transforms import augment_train_batch
+from avtubes.data.spectrogram import SpectrogramConfig
 from avtubes.models import AVENet
 from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup
 from avtubes.train.state import create_train_state
-from avtubes.train.steps import hardway_train_step
+from avtubes.train.steps import hardway_fused_train_step, hardway_multi_step
 from avtubes.utils.logging import MetricLogger
 
 
@@ -74,25 +73,49 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
     start_epoch = 0
     if cfg.train.use_pretrained:
         ckpt = cfg.train.pretrained_path or latest_checkpoint(cfg.train.summaries_dir, tag)
-        if ckpt:
+        if ckpt and str(ckpt).endswith((".pth", ".pth.tar")):
+            # reference torch checkpoint warm start (train_hardway.py:93-100)
+            from avtubes.core.torch_import import avenet_from_torch
+
+            converted = avenet_from_torch(ckpt)
+            state = state.replace(params=converted["params"],
+                                  batch_stats=converted["batch_stats"])
+            print(f"[train] warm-started from torch checkpoint {ckpt}")
+        elif ckpt:
             state, start_epoch = restore_checkpoint(ckpt, state)
             start_epoch += 1
             print(f"[train] resumed from {ckpt} at epoch {start_epoch}")
 
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
     last_metrics: dict = {}
+    group = max(1, cfg.train.group_steps)
     for epoch in range(start_epoch, o.epochs):
         aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 1), epoch)
         step_in_epoch = 0
+        pending: list = []
         for batch in device_prefetch(loader.epoch(epoch), depth=d.prefetch,
                                      put=lambda x: shard_batch(mesh, x)):
             if steps_cap and step_in_epoch >= steps_cap:
                 break
-            spec = log_spectrogram(batch["waveform"], spec_cfg)[..., None]
-            v1, v2 = augment_train_batch(
-                jax.random.fold_in(aug_key, step_in_epoch), batch["clip"], d.image_size)
-            state, metrics = hardway_train_step(state, v1, v2, spec, o.loss_weight)
-            step_in_epoch += 1
+            if group == 1:
+                state, metrics = hardway_fused_train_step(
+                    state, batch["clip"], batch["waveform"],
+                    jax.random.fold_in(aug_key, step_in_epoch), spec_cfg,
+                    o.loss_weight, d.image_size)
+                step_in_epoch += 1
+            else:
+                pending.append(batch)
+                if len(pending) < group:
+                    continue
+                keys = jax.random.split(
+                    jax.random.fold_in(aug_key, step_in_epoch), group)
+                state, metrics = hardway_multi_step(
+                    state,
+                    jnp.stack([p["clip"] for p in pending]),
+                    jnp.stack([p["waveform"] for p in pending]),
+                    keys, spec_cfg, o.loss_weight, d.image_size)
+                pending = []
+                step_in_epoch += group
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in metrics.items()})

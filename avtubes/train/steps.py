@@ -104,6 +104,60 @@ def hardway_1frame_train_step(
     return state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("loss_weight", "spec_cfg", "image_size"),
+                   donate_argnums=(0,))
+def hardway_fused_train_step(
+    state: AVTrainState,
+    clips_uint8: jnp.ndarray,   # (B, T, S, S, 3) host-cropped clip, raw uint8
+    waveforms: jnp.ndarray,     # (B, num_samples) prepared waveforms
+    key: jax.Array,
+    spec_cfg,
+    loss_weight: float = 0.1,
+    image_size: int = 224,
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    """The whole training step as ONE program: log-spectrogram (DFT matmuls),
+    two-view augmentation, both forward passes, 4-term loss, Adam update.
+
+    One device dispatch per step matters doubly here: XLA can overlap the
+    preprocessing with the backbones, and hosts driving remote accelerators
+    pay a fixed RTT per dispatch (3 separate programs = 3 RTTs).
+    """
+    from avtubes.data.spectrogram import log_spectrogram
+    from avtubes.data.transforms import augment_train_batch
+
+    spec = log_spectrogram(waveforms, spec_cfg)[..., None]
+    v1, v2 = augment_train_batch(key, clips_uint8, image_size)
+    return hardway_train_step(state, v1, v2, spec, loss_weight)
+
+
+@functools.partial(jax.jit, static_argnames=("loss_weight", "spec_cfg", "image_size"),
+                   donate_argnums=(0,))
+def hardway_multi_step(
+    state: AVTrainState,
+    clips_uint8: jnp.ndarray,   # (G, B, T, S, S, 3) a group of G micro-batches
+    waveforms: jnp.ndarray,     # (G, B, num_samples)
+    keys: jax.Array,            # (G, 2) PRNG keys
+    spec_cfg,
+    loss_weight: float = 0.1,
+    image_size: int = 224,
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    """G sequential optimizer steps inside ONE program (lax.scan).
+
+    Amortizes per-dispatch host overhead across G steps — the standard
+    trick for keeping a fast accelerator fed from a slow/remote host; the
+    returned metrics are those of the group's last step.
+    """
+
+    def body(st, inputs):
+        clips, waves, key = inputs
+        st, metrics = hardway_fused_train_step(
+            st, clips, waves, key, spec_cfg, loss_weight, image_size)
+        return st, metrics
+
+    state, metrics = jax.lax.scan(body, state, (clips_uint8, waveforms, keys))
+    return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+
 @jax.jit
 def train3d_step(
     state: AVTrainState,

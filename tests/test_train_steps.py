@@ -10,6 +10,7 @@ import numpy as np
 
 from avtubes.core.config import OptimConfig
 from avtubes.models import AVENet
+from avtubes.train import create_train_state as create_train_state  # noqa: F401
 from avtubes.train import (
     create_train_state,
     eval_heatmap_step,
@@ -66,6 +67,48 @@ def test_eval_step_shapes_and_purity():
     h2 = eval_heatmap_step(state, frames, spec)
     assert h1.shape == (3, 4, 4)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_fused_and_multi_step_consistency():
+    """One grouped dispatch of G steps == G sequential fused steps."""
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.train.steps import hardway_fused_train_step, hardway_multi_step
+
+    cfg = SpectrogramConfig(samplerate=2000, seconds=1)
+    rng = np.random.RandomState(5)
+    g, b, t, s = 2, 2, 2, 64
+    clips = jnp.asarray(rng.randint(0, 256, (g, b, t, s, s, 3)), jnp.uint8)
+    waves = jnp.asarray(np.clip(rng.randn(g, b, cfg.num_samples) * 0.1, -1, 1),
+                        jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(9), g)
+
+    _, state_a = _tiny_state(lr=1e-3)
+    # _tiny_state inits at audio (2,64,64,1); rebuild for this spec shape
+    model = AVENet()
+    def fresh():
+        return create_train_state(
+            model, jax.random.PRNGKey(0),
+            (jnp.zeros((2, s, s, 3)), jnp.zeros((2, *cfg.shape, 1))),
+            OptimConfig(learning_rate=1e-3))
+
+    st1 = fresh()
+    for i in range(g):
+        st1, m1 = hardway_fused_train_step(st1, clips[i], waves[i], keys[i],
+                                           cfg, 0.1, s)
+    st2, m2 = hardway_multi_step(fresh(), clips, waves, keys, cfg, 0.1, s)
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    # per-element comparison is dominated by Adam sign-noise on near-zero
+    # gradients (scan vs loop fuse differently); compare global energy instead
+    num = den = 0.0
+    for a, b_ in zip(jax.tree_util.tree_leaves(st1.params),
+                     jax.tree_util.tree_leaves(st2.params)):
+        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+        num += float(((a - b_) ** 2).sum())
+        den += float((a ** 2).sum())
+    # the scan body is a different compilation of the same math (different
+    # fusion/reduction order); Adam's eps amplifies that on tiny gradients.
+    # Observed ~2e-5; a real semantic bug (wrong key, skipped step) is >1e-2.
+    assert num / den < 1e-4, f"relative param energy diff {num / den:.2e}"
 
 
 def test_lr_schedule_milestones():
