@@ -11,9 +11,11 @@ Protocol parity (`train_hardway.py:164-239`, `test.py:87-172`):
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,15 +48,27 @@ def make_gt_lookup(data_cfg: DataConfig, per_frame: bool = False,
     return lookup
 
 
+@functools.partial(jax.jit, static_argnames=("spec_cfg",))
+def _hardway_eval_masks(state, frames_uint8, waveforms, spec_cfg):
+    """Raw frames+waveforms -> binary masks in ONE program (normalize,
+    spectrogram, both encoders, heatmap postprocess all fused)."""
+    frames = normalize_imagenet(frames_uint8)
+    spec = log_spectrogram(waveforms, spec_cfg)[..., None]
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        frames, spec, train=False,
+    )
+    return heatmap_to_mask_batch(out.heatmap)
+
+
 def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
                      gt_lookup, epoch: int = 0) -> dict[str, float]:
     """249-image hard-way test: cIoU@0.5 + AUC (`train_hardway.py:208-239`)."""
     cious = []
     for batch in loader.epoch(epoch):
-        frames = normalize_imagenet(jnp.asarray(batch["frame"]))
-        spec = log_spectrogram(jnp.asarray(batch["waveform"]), spec_cfg)[..., None]
-        heat = eval_heatmap_step(state, frames, spec)
-        masks = np.asarray(heatmap_to_mask_batch(heat))
+        masks = np.asarray(_hardway_eval_masks(
+            state, jnp.asarray(batch["frame"]), jnp.asarray(batch["waveform"]),
+            spec_cfg))
         for i, vid in enumerate(batch["id"]):
             gt = gt_lookup(vid, None)
             cious.append(ciou_single(masks[i], gt, 0.5))
