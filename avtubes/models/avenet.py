@@ -15,6 +15,7 @@ Returns a HardwayOutput named tuple instead of the reference's positional
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from avtubes.models.hardway import HardwayConfig, HardwayOutput, hardway_head
@@ -24,10 +25,13 @@ from avtubes.models.resnet2d import ResNet2D
 class AVENet(nn.Module):
     hardway: HardwayConfig = HardwayConfig()
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = False  # space-to-depth stems (exact transform; faster on TPU)
 
     def setup(self):
-        self.imgnet = ResNet2D(modal="vision", dtype=self.dtype, name="imgnet")
-        self.audnet = ResNet2D(modal="audio", dtype=self.dtype, name="audnet")
+        self.imgnet = ResNet2D(modal="vision", dtype=self.dtype,
+                               s2d_stem=self.s2d_stem, name="imgnet")
+        self.audnet = ResNet2D(modal="audio", dtype=self.dtype,
+                               s2d_stem=self.s2d_stem, name="audnet")
 
     def encode_image(self, image, train: bool = True) -> jnp.ndarray:
         """(B, H, W, 3) -> (B, H/16, W/16, 512) spatial features."""
@@ -43,3 +47,19 @@ class AVENet(nn.Module):
         img = self.encode_image(image, train=train)
         aud = self.encode_audio(audio, train=train)
         return hardway_head(img, aud, self.hardway, aud_all=aud_all)
+
+
+def variables_to_s2d(variables: dict) -> dict:
+    """Convert a plain-stem AVENet variables pytree to the s2d-stem layout
+    (kernels transformed with stem_kernel_to_s2d; everything else shared)."""
+    import copy
+
+    from avtubes.models.resnet2d import stem_kernel_to_s2d
+
+    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, variables))
+    for net, modal in (("imgnet", "vision"), ("audnet", "audio")):
+        stem = out["params"][net].pop(f"stem_{modal}")
+        out["params"][net][f"stem_{modal}_s2d"] = {
+            "kernel": stem_kernel_to_s2d(stem["kernel"])
+        }
+    return out

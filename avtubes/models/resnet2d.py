@@ -46,6 +46,35 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
 STEM_CHANNELS = {"vision": 3, "audio": 1, "flow": 6}
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/b, W/b, C*b*b); odd trailing rows/cols are
+    zero-padded first (audio spectrograms have odd extents)."""
+    b, h, w, c = x.shape
+    ph, pw = (-h) % block, (-w) % block
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        h, w = h + ph, w + pw
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // block, w // block,
+                                                 block * block * c)
+
+
+def stem_kernel_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Transform a (7, 7, C, O) stride-2 stem kernel into the equivalent
+    (4, 4, 4C, O) stride-1 kernel over space-to-depth(2) input.
+
+    The 7x7/stride-2/pad-3 conv reads x[2i+u-3] for u in 0..6; zero-padding
+    the kernel to 8x8 at the *front* aligns taps to 2x2 blocks, which then
+    fold into the channel dimension (the MLPerf TPU ResNet stem trick).
+    """
+    k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # 8x8xCxO
+    c, o = kernel.shape[2], kernel.shape[3]
+    k = k.reshape(4, 2, 4, 2, c, o)                        # (bh, a, bw, b, C, O)
+    # s2d input channel layout is (a, b, C) flattened -> order must match
+    k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, o)
+    return k
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs with identity/projection shortcut (ResNet v1 basic block)."""
 
@@ -90,6 +119,8 @@ class ResNet2D(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     stage_filters: Sequence[int] = (64, 128, 256, 512)
     stage_strides: Sequence[int] = (1, 2, 2, 1)  # layer4 stride 1 -> 14x14 map
+    s2d_stem: bool = False  # space-to-depth stem: exact 7x7/s2 equivalent,
+    #                          much better MXU/HBM behavior on TPU
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,9 +131,15 @@ class ResNet2D(nn.Module):
                 f"modal={self.modal!r} expects {expected_c} input channels (NHWC), got {x.shape}"
             )
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype,
-                    name=f"stem_{self.modal}")(x)
+        if self.s2d_stem:
+            x = space_to_depth(x, 2)
+            x = nn.Conv(64, (4, 4), padding=((2, 1), (2, 1)), use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name=f"stem_{self.modal}_s2d")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name=f"stem_{self.modal}")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, scale_init=bn_scale_init, name="stem_bn")(x)
         x = nn.relu(x)

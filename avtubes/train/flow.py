@@ -25,14 +25,29 @@ from avtubes.core.checkpoint import save_checkpoint
 from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.pipeline import BatchLoader, device_prefetch
-from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
-from avtubes.data.transforms import augment_train_batch
+from avtubes.data.spectrogram import SpectrogramConfig
 from avtubes.losses import hardway_loss
 from avtubes.models.flownet import FlowNetLite
 from avtubes.ops.warp import flow_warp
 from avtubes.train.hardway import build_model, build_sources
 from avtubes.train.state import create_train_state
 from avtubes.utils.logging import MetricLogger
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("flow_loss_weight", "spec_cfg", "image_size"),
+                   donate_argnums=(0,))
+def flow_fused_train_step(state, flow_variables, clips_uint8, waveforms, key,
+                          spec_cfg, flow_loss_weight: float = 0.0,
+                          image_size: int = 224):
+    """Whole flow step in one program: spectrogram + augmentation + flow
+    estimation + hard-way CE (+ gated warp consistency) + update."""
+    from avtubes.data.spectrogram import log_spectrogram
+    from avtubes.data.transforms import augment_train_batch
+
+    spec = log_spectrogram(waveforms, spec_cfg)[..., None]
+    v1, _ = augment_train_batch(key, clips_uint8, image_size)
+    return flow_train_step(state, flow_variables, v1, spec, flow_loss_weight)
 
 
 @functools.partial(jax.jit, static_argnames=("flow_loss_weight",),
@@ -108,11 +123,10 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
                                      put=lambda x: shard_batch(mesh, x)):
             if steps_cap and step_in_epoch >= steps_cap:
                 break
-            spec = log_spectrogram(batch["waveform"], spec_cfg)[..., None]
-            v1, _ = augment_train_batch(
-                jax.random.fold_in(key, step_in_epoch), batch["clip"], d.image_size)
-            state, metrics = flow_train_step(state, flow_variables, v1, spec,
-                                             flow_loss_weight=flow_loss_weight)
+            state, metrics = flow_fused_train_step(
+                state, flow_variables, batch["clip"], batch["waveform"],
+                jax.random.fold_in(key, step_in_epoch), spec_cfg,
+                flow_loss_weight, d.image_size)
             step_in_epoch += 1
             logger.log(step=int(state.step), epoch=epoch,
                        **{k: float(v) for k, v in metrics.items()})

@@ -14,12 +14,11 @@ from avtubes.core.checkpoint import latest_checkpoint, restore_checkpoint, save_
 from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.pipeline import BatchLoader, device_prefetch
-from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
-from avtubes.data.transforms import normalize_imagenet, random_hflip
+from avtubes.data.spectrogram import SpectrogramConfig
 from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup
 from avtubes.train.hardway import _synthetic_gt_lookup, build_model, build_sources
 from avtubes.train.state import create_train_state
-from avtubes.train.steps import hardway_1frame_train_step
+from avtubes.train.steps import hardway_1frame_fused_step
 from avtubes.utils.logging import MetricLogger
 
 
@@ -54,7 +53,6 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
 
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
     last: dict = {}
-    flip = jax.jit(jax.vmap(random_hflip))
     for epoch in range(start_epoch, o.epochs):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 3), epoch)
         step_in_epoch = 0
@@ -62,11 +60,9 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
                                      put=lambda x: shard_batch(mesh, x)):
             if steps_cap and step_in_epoch >= steps_cap:
                 break
-            spec = log_spectrogram(batch["waveform"], spec_cfg)[..., None]
-            frames = normalize_imagenet(batch["clip"][:, 0])  # (B, H, W, 3) middle frame
-            frames = flip(jax.random.split(jax.random.fold_in(key, step_in_epoch),
-                                           frames.shape[0]), frames)
-            state, metrics = hardway_1frame_train_step(state, frames, spec)
+            state, metrics = hardway_1frame_fused_step(
+                state, batch["clip"][:, 0], batch["waveform"],
+                jax.random.fold_in(key, step_in_epoch), spec_cfg)
             step_in_epoch += 1
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,

@@ -188,6 +188,46 @@ def train3d_step(
     return state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("spec_cfg",), donate_argnums=(0,))
+def hardway_1frame_fused_step(
+    state: AVTrainState,
+    frames_uint8: jnp.ndarray,  # (B, S, S, 3) middle frame, raw uint8
+    waveforms: jnp.ndarray,     # (B, num_samples)
+    key: jax.Array,
+    spec_cfg,
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    """1-frame step as one program: spectrogram + normalize + random hflip +
+    plain hard-way CE update."""
+    from avtubes.data.spectrogram import log_spectrogram
+    from avtubes.data.transforms import normalize_imagenet, random_hflip
+
+    spec = log_spectrogram(waveforms, spec_cfg)[..., None]
+    frames = normalize_imagenet(frames_uint8)
+    keys = jax.random.split(key, frames.shape[0])
+    frames = jax.vmap(random_hflip)(keys, frames)
+    return hardway_1frame_train_step(state, frames, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec_cfg", "image_size"),
+                   donate_argnums=(0,))
+def train3d_fused_step(
+    state: AVTrainState,
+    clips_uint8: jnp.ndarray,   # (B, T, S, S, 3)
+    waveforms: jnp.ndarray,     # (B, num_samples)
+    key: jax.Array,
+    spec_cfg,
+    image_size: int = 224,
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    """3D tube step as one program: spectrogram + view-1 augmentation +
+    FullModel fwd/bwd + update."""
+    from avtubes.data.spectrogram import log_spectrogram
+    from avtubes.data.transforms import augment_train_batch
+
+    spec = log_spectrogram(waveforms, spec_cfg)[..., None]
+    v1, _ = augment_train_batch(key, clips_uint8, image_size)
+    return train3d_step(state, v1, spec)
+
+
 @jax.jit
 def eval3d_heatmap_step(state: AVTrainState, video: jnp.ndarray, spec: jnp.ndarray):
     """3D inference: (B,T,H,W,3)+(B,F,Tt,1) -> (B, T, h, w) heatmaps."""

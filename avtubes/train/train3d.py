@@ -14,12 +14,11 @@ from avtubes.core.checkpoint import latest_checkpoint, restore_checkpoint, save_
 from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.pipeline import BatchLoader, device_prefetch
-from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
-from avtubes.data.transforms import augment_train_batch
+from avtubes.data.spectrogram import SpectrogramConfig
 from avtubes.models import FullModel
 from avtubes.train.hardway import build_sources
 from avtubes.train.state import create_train_state
-from avtubes.train.steps import train3d_step
+from avtubes.train.steps import train3d_fused_step
 from avtubes.utils.logging import MetricLogger
 
 
@@ -58,10 +57,9 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d") -> dict:
                                      put=lambda x: shard_batch(mesh, x)):
             if steps_cap and step_in_epoch >= steps_cap:
                 break
-            spec = log_spectrogram(batch["waveform"], spec_cfg)[..., None]
-            v1, _ = augment_train_batch(
-                jax.random.fold_in(aug_key, step_in_epoch), batch["clip"], d.image_size)
-            state, metrics = train3d_step(state, v1, spec)
+            state, metrics = train3d_fused_step(
+                state, batch["clip"], batch["waveform"],
+                jax.random.fold_in(aug_key, step_in_epoch), spec_cfg, d.image_size)
             step_in_epoch += 1
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,
