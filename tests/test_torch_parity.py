@@ -73,6 +73,49 @@ def test_avenet_forward_parity(reference_avenet, tmp_path):
                                atol=2e-4)
 
 
+def test_fullmodel_3d_forward_parity(tmp_path):
+    """Reference FullModel (ResNet3D tubes + HardWayAttention) vs ours."""
+    import jax.numpy as jnp
+
+    from avtubes.core.torch_import import fullmodel_from_torch
+    from avtubes.models import FullModel
+
+    sys.path.insert(0, str(REFERENCE))
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    import importlib
+
+    ref_model_mod = importlib.import_module("model")
+
+    class Args:
+        pass
+
+    torch.manual_seed(1)
+    ref = ref_model_mod.FullModel(Args())
+    ref.eval()
+    ckpt = tmp_path / "full.pth.tar"
+    torch.save({"model_state_dict": ref.state_dict()}, ckpt)
+    variables = fullmodel_from_torch(ckpt)
+
+    rng = np.random.RandomState(2)
+    b, t = 2, 2
+    video = rng.randn(b, 3, t, 64, 64).astype(np.float32)   # torch NCDHW
+    audio = rng.randn(b * t, 1, 64, 64).astype(np.float32)
+
+    with torch.no_grad():
+        A, logits = ref(torch.tensor(audio), torch.tensor(video))
+
+    ours = FullModel().apply(
+        variables,
+        jnp.asarray(audio.transpose(0, 2, 3, 1)),
+        jnp.asarray(video.transpose(0, 2, 3, 4, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours.heatmap), A.numpy()[:, 0], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours.logits), logits.numpy(),
+                               rtol=1e-3, atol=2e-2)
+
+
 def test_converter_covers_all_backbone_tensors(reference_avenet, tmp_path):
     """Every live tensor in the torch checkpoint lands in our pytree."""
     import jax
