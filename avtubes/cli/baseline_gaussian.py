@@ -15,7 +15,6 @@ import numpy as np
 
 from avtubes.core.config import ExperimentConfig
 from avtubes.data.index import load_split
-from avtubes.data.pipeline import HardwayTestSource, SyntheticSource
 from avtubes.evaluation import auc_from_ciou, ciou_single, heatmap_to_mask
 from avtubes.train.evaluate import make_gt_lookup
 from avtubes.train.hardway import _synthetic_gt_lookup

@@ -18,7 +18,7 @@ def main(argv=None):
         weight = float(argv[i + 1])
         del argv[i : i + 2]
     cfg = ExperimentConfig.from_args(argv)
-    metrics = run(cfg, steps_cap=getattr(cfg, "_steps_cap", 0),
+    metrics = run(cfg, steps_cap=cfg.train.steps_cap,
                   flow_loss_weight=weight)
     print("final:", metrics)
 

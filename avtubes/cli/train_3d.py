@@ -10,7 +10,7 @@ from avtubes.train.train3d import run
 
 def main(argv=None):
     cfg = ExperimentConfig.from_args(argv)
-    metrics = run(cfg, steps_cap=getattr(cfg, "_steps_cap", 0))
+    metrics = run(cfg, steps_cap=cfg.train.steps_cap)
     print("final:", metrics)
 
 

@@ -12,7 +12,7 @@ from avtubes.train.hardway import run
 
 def main(argv=None):
     cfg = ExperimentConfig.from_args(argv)
-    metrics = run(cfg, steps_cap=getattr(cfg, "_steps_cap", 0))
+    metrics = run(cfg, steps_cap=cfg.train.steps_cap)
     print("final:", metrics)
 
 

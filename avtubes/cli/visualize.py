@@ -59,7 +59,7 @@ def main(argv=None):
         src = HardwayTestSource(d.og_data_path or d.data_path, ids, d)
         gt_lookup = make_gt_lookup(d)
 
-    steps = getattr(cfg, "_steps_cap", 0) or 20
+    steps = cfg.train.steps_cap or 20
     if overfit:
         sample = src.load(0)
         frames = normalize_imagenet(jnp.asarray(sample["frame"][None]))

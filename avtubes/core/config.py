@@ -56,6 +56,7 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     use_pretrained: bool = False
     pretrained_path: str = ""
+    steps_cap: int = 0                 # cap steps/epoch (0 = full epoch)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,10 +118,10 @@ class ExperimentConfig:
                 summaries_dir=a.summaries_dir, seed=a.seed,
                 compute_dtype=a.compute_dtype, negative_pool=a.negative_pool,
                 use_pretrained=a.use_pretrained, group_steps=a.group_steps,
+                steps_cap=a.steps,
             ),
             hardway=HardwayConfig(
                 epsilon=a.epsilon, epsilon2=a.epsilon2, trimap=a.tri_map, use_neg=a.Neg,
             ),
         )
-        object.__setattr__(cfg, "_steps_cap", a.steps)  # convenience, not part of tree
         return cfg

@@ -27,8 +27,6 @@ all-gather implied by the cross-batch A0 matmul (global negative pool).
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -44,7 +44,21 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d") -> dict:
     start_epoch = 0
     if cfg.train.use_pretrained:
         ckpt = cfg.train.pretrained_path or latest_checkpoint(cfg.train.summaries_dir, tag)
-        if ckpt:
+        if ckpt and str(ckpt).endswith((".pth", ".pth.tar")):
+            # Kinetics r3d18 / reference FullModel torch warm start
+            # (train_3D.py:89 loads pretrained/r3d18_KM_200ep.pth)
+            from avtubes.core.torch_import import fullmodel_from_torch
+
+            converted = fullmodel_from_torch(ckpt)
+            params = dict(state.params)
+            stats = dict(state.batch_stats)
+            for net in ("vidnet", "audnet"):
+                if converted["params"].get(net):
+                    params[net] = converted["params"][net]
+                    stats[net] = converted["batch_stats"][net]
+            state = state.replace(params=params, batch_stats=stats)
+            print(f"[train3d] warm-started from torch checkpoint {ckpt}")
+        elif ckpt:
             state, start_epoch = restore_checkpoint(ckpt, state)
             start_epoch += 1
 

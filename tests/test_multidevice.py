@@ -13,7 +13,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from conftest import cpu_mesh
 
-from avtubes.models import HardwayConfig, hardway_head
+from avtubes.models import hardway_head
 
 
 def test_global_negative_pool_matches_single_device():

@@ -1,7 +1,6 @@
 """Pallas fused STFT kernel: interpret-mode parity with the XLA/scipy path."""
 
 import numpy as np
-import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 import jax.numpy as jnp
