@@ -36,6 +36,9 @@ def main(argv=None):
     overfit = "--overfit" in argv
     if overfit:
         argv.remove("--overfit")
+    whole_video = "--whole_video" in argv
+    if whole_video:
+        argv.remove("--whole_video")
     out_dir = "visualizations"
     if "--out_dir" in argv:
         i = argv.index("--out_dir")
@@ -83,6 +86,33 @@ def main(argv=None):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     from PIL import Image
+
+    if whole_video:
+        # per-frame overlays over decoded test mp4s, one dir per video —
+        # stitch to mp4 with avtubes.tools.convert_jpg_to_mp4
+        # (the reference's PerFrameLabels qualitative path, visualize.py:119-158)
+        from avtubes.data.pipeline import PerFrameEvalSource
+
+        ids = load_split(d.metadata_dir, d.testset, "test")
+        pf = PerFrameEvalSource(d.data_path, ids, d)
+        for i in range(len(pf)):
+            sample = pf.load(i)
+            clip = sample["clip"]
+            idxs = list(range(d.sampling_rate, clip.shape[0] - 1, d.sampling_rate))
+            if not idxs:
+                continue
+            frames = normalize_imagenet(jnp.asarray(clip[idxs]))
+            spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)
+            spec = jnp.tile(spec1[None, ..., None], (len(idxs), 1, 1, 1))
+            heat = eval_heatmap_step(state, frames, spec)
+            masks = np.asarray(heatmap_to_mask_batch(heat))
+            vdir = out / sample["id"]
+            vdir.mkdir(exist_ok=True)
+            for j, fi in enumerate(idxs):
+                img = overlay_heatmap(clip[fi], masks[j])
+                Image.fromarray(img).save(vdir / f"{j}.jpg")
+        print(f"wrote per-frame overlays for {len(pf)} videos to {out}/")
+        return
 
     for i in range(len(src)):
         sample = src.load(i)

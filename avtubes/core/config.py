@@ -49,8 +49,7 @@ class TrainConfig:
     summaries_dir: str = "checkpoints/"
     seed: int = 0
     compute_dtype: str = "bfloat16"    # backbone compute dtype ('float32'|'bfloat16')
-    negative_pool: str = "global"      # 'global' | 'device'
-    mesh_shape: tuple[int, ...] = ()   # () = all devices on one 'data' axis
+    negative_pool: str = "global"      # 'global' | 'device' (DataParallel parity)
     log_every: int = 10
     group_steps: int = 1               # optimizer steps fused per dispatch (lax.scan)
     checkpoint_every_epochs: int = 1

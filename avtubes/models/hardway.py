@@ -50,6 +50,10 @@ class HardwayConfig:
     trimap: bool = True        # Neg from epsilon2 (vs 1 - Pos)
     use_neg: bool = True       # append sim2 column
     mask_penalty: float = 100.0
+    pool_block: int = 0        # >0: restrict the negative pool to contiguous
+    #                            blocks of this size (DataParallel per-replica
+    #                            pool semantics under a contiguously sharded
+    #                            global batch; 0 = global pool)
 
 
 class HardwayOutput(NamedTuple):
@@ -104,6 +108,14 @@ def hardway_head(
     sim = (pos_all * a0).sum(1) / pos_all.sum(1)                            # (B, K)
     if k == b:
         mask = 1.0 - cfg.mask_penalty * jnp.eye(b, dtype=sim.dtype)
+        if cfg.pool_block and cfg.pool_block < b:
+            # per-block negative pool: columns outside the sample's block get
+            # the same exclusion treatment as the diagonal, reproducing
+            # DataParallel per-replica pools on a contiguously sharded batch
+            blk = jnp.arange(b) // cfg.pool_block
+            same = (blk[:, None] == blk[None, :]).astype(sim.dtype)
+            mask = jnp.where((same > 0) & ~jnp.eye(b, dtype=bool), 1.0,
+                             1.0 - cfg.mask_penalty)
     else:
         # sharded pool: own column sits at offset my_shard*b within K — callers
         # using aud_all must mask via parallel.global_pool_mask; identity here

@@ -53,8 +53,17 @@ def build_sources(cfg: ExperimentConfig):
 
 def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
         do_eval: bool = True) -> dict:
-    model = build_model(cfg)
     d, o = cfg.data, cfg.optim
+    if cfg.train.negative_pool == "device":
+        # DataParallel-parity pools: contrast only within the per-device
+        # slice of the (b·t) frame batch (block masking in the head)
+        import dataclasses
+
+        mesh_probe = make_data_mesh(o.batch_size)
+        per_dev = (o.batch_size * max(d.frame_density, 1)) // mesh_probe.size
+        cfg = dataclasses.replace(
+            cfg, hardway=dataclasses.replace(cfg.hardway, pool_block=per_dev))
+    model = build_model(cfg)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
 
     train_src, test_src = build_sources(cfg)

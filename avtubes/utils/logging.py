@@ -49,6 +49,22 @@ class MetricLogger:
         if self._wandb:
             self._wandb.log({k: v for k, v in rec.items() if k not in ("t",)})
 
+    def log_image(self, name: str, image, step: int | None = None) -> None:
+        """Log an overlay image: saved under summaries_dir/images (and to
+        wandb if attached) — the reference's save_image/wandb.Image path."""
+        import numpy as np
+
+        arr = np.asarray(image)
+        if self.path:
+            from PIL import Image
+
+            d = self.path.parent / "images"
+            d.mkdir(exist_ok=True)
+            suffix = f"_{step}" if step is not None else ""
+            Image.fromarray(arr).save(d / f"{name}{suffix}.jpg")
+        if self._wandb:
+            self._wandb.log({name: self._wandb.Image(arr)})
+
     def close(self) -> None:
         if self._wandb:
             self._wandb.finish()

@@ -24,10 +24,28 @@ def _jet(x: np.ndarray) -> np.ndarray:
         return np.uint8(np.stack([r, g, b], -1) * 255)
 
 
+def _match_size(m: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    if m.shape[:2] == hw:
+        return m
+    try:
+        import cv2
+
+        return cv2.resize(m.astype(np.float32), (hw[1], hw[0]),
+                          interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        yi = (np.arange(hw[0]) * m.shape[0] / hw[0]).astype(int)
+        xi = (np.arange(hw[1]) * m.shape[1] / hw[1]).astype(int)
+        return m[yi][:, xi]
+
+
 def overlay_heatmap(frame: np.ndarray, pred: np.ndarray,
                     gt_map: np.ndarray | None = None) -> np.ndarray:
-    """frame: (H,W,3) uint8/float; pred/gt: (H,W) in [0,1]. Returns uint8 RGB."""
+    """frame: (H,W,3) uint8/float; pred/gt: any-resolution [0,1] maps
+    (resized to the frame). Returns uint8 RGB."""
     frame = np.asarray(frame, np.float64)
+    pred = _match_size(np.asarray(pred), frame.shape[:2])
+    if gt_map is not None:
+        gt_map = _match_size(np.asarray(gt_map), frame.shape[:2])
     if frame.max() > 1.5:
         frame = frame / 255.0
     frame = (frame - frame.min()) / max(frame.max() - frame.min(), 1e-12)
