@@ -11,6 +11,9 @@ from avtubes.train.flow import run
 
 
 def main(argv=None):
+    from avtubes.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     weight = 0.0
     if "--flow_loss_weight" in argv:

@@ -28,6 +28,9 @@ from avtubes.train.state import create_train_state
 
 
 def main(argv=None):
+    from avtubes.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     use_activation = "--use_activation" in argv
     if use_activation:

@@ -9,6 +9,9 @@ from avtubes.train.train3d import run
 
 
 def main(argv=None):
+    from avtubes.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = ExperimentConfig.from_args(argv)
     metrics = run(cfg, steps_cap=cfg.train.steps_cap)
     print("final:", metrics)

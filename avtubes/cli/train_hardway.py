@@ -11,6 +11,9 @@ from avtubes.train.hardway import run
 
 
 def main(argv=None):
+    from avtubes.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = ExperimentConfig.from_args(argv)
     metrics = run(cfg, steps_cap=cfg.train.steps_cap)
     print("final:", metrics)

@@ -32,6 +32,9 @@ from avtubes.utils.visual import overlay_heatmap
 
 
 def main(argv=None):
+    from avtubes.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     overfit = "--overfit" in argv
     if overfit:

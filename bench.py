@@ -24,6 +24,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from avtubes.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 NORTH_STAR = 2000.0  # clips/sec/chip target from BASELINE.json
