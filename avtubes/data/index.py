@@ -43,8 +43,14 @@ def test_csv_name(testset: str, hardway: bool = False, val: bool = False) -> str
     raise ValueError(f"unknown testset {testset!r}")
 
 
-def load_split(metadata_dir: str | Path, testset: str, split: str, subset: int = 10) -> list[str]:
-    """split in {'train', 'test', 'test_hardway', 'val'} -> list of ids."""
+def load_split(metadata_dir: str | Path, testset: str, split: str, subset: int = 10,
+               shard: tuple[int, int] | None = None) -> list[str]:
+    """split in {'train', 'test', 'test_hardway', 'val'} -> list of ids.
+
+    `shard=(i, n)` keeps every n-th id starting at i — multi-host data
+    sharding (each host feeds its own slice of the global batch over DCN;
+    pass (jax.process_index(), jax.process_count()) on multi-host pods).
+    """
     metadata_dir = Path(metadata_dir)
     if split == "train":
         name = train_csv_name(testset, subset)
@@ -56,4 +62,8 @@ def load_split(metadata_dir: str | Path, testset: str, split: str, subset: int =
         name = test_csv_name(testset)
     else:
         raise ValueError(f"unknown split {split!r}")
-    return read_id_csv(metadata_dir / name)
+    ids = read_id_csv(metadata_dir / name)
+    if shard is not None:
+        i, n = shard
+        ids = ids[i::n]
+    return ids

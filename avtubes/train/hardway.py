@@ -44,7 +44,10 @@ def build_sources(cfg: ExperimentConfig):
         train_src = SyntheticSource(d, n=max(4 * cfg.optim.batch_size, 8))
         test_src = SyntheticSource(d, n=8, clip=False, seed=1)
         return train_src, test_src
-    train_ids = load_split(d.metadata_dir, d.testset, "train", d.subset)
+    shard = None
+    if jax.process_count() > 1:  # multi-host: each host loads its slice
+        shard = (jax.process_index(), jax.process_count())
+    train_ids = load_split(d.metadata_dir, d.testset, "train", d.subset, shard=shard)
     test_ids = load_split(d.metadata_dir, d.testset, "test_hardway")
     train_src = ClipTrainSource(d.data_path, train_ids, d)
     test_src = HardwayTestSource(d.og_data_path or d.data_path, test_ids, d)
