@@ -48,6 +48,30 @@ class AVENet(nn.Module):
         aud = self.encode_audio(audio, train=train)
         return hardway_head(img, aud, self.hardway, aud_all=aud_all)
 
+    def two_view_forward(self, frames, augmented, audio, t: int,
+                         train: bool = True) -> tuple[HardwayOutput, HardwayOutput]:
+        """Both training views with the audio encoded ONCE per clip.
+
+        The reference repeats each clip's spectrogram T times and runs the
+        audio backbone on B*T duplicates, twice (`train_hardway.py:128-133`)
+        — 2T redundant audio passes per clip.  Encoding the B unique
+        spectrograms once and tiling the pooled features is mathematically
+        identical: batch statistics over uniformly duplicated samples equal
+        those over the uniques, and the tiled features broadcast/sum
+        correctly through the backward pass.  (Only the BatchNorm
+        running-stat momentum sees one audio update per step instead of two
+        — an eval-time-only, documented deviation.)
+
+        frames/augmented: (B*T, H, W, 3); audio: (B, F, Tt, 1).
+        """
+        aud = self.encode_audio(audio, train=train)       # (B, 512)
+        aud_f = jnp.repeat(aud, t, axis=0)                # (B*T, 512)
+        img1 = self.encode_image(frames, train=train)     # stats update 1
+        out1 = hardway_head(img1, aud_f, self.hardway)
+        img2 = self.encode_image(augmented, train=train)  # stats update 2
+        out2 = hardway_head(img2, aud_f, self.hardway)
+        return out1, out2
+
 
 def variables_to_s2d(variables: dict) -> dict:
     """Convert a plain-stem AVENet variables pytree to the s2d-stem layout

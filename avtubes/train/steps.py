@@ -50,16 +50,12 @@ def hardway_train_step(
     b, t = frames.shape[:2]
     frames_f = _fold_time(frames)
     augmented_f = _fold_time(augmented)
-    spec_f = jnp.repeat(spec, t, axis=0)  # (B*T, F, Tt, 1): spec tiled per frame
 
     def loss_fn(params):
-        out, mut = state.apply_fn(
+        (out, out2), mut2 = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            frames_f, spec_f, train=True, mutable=["batch_stats"],
-        )
-        out2, mut2 = state.apply_fn(
-            {"params": params, "batch_stats": mut["batch_stats"]},
-            augmented_f, spec_f, train=True, mutable=["batch_stats"],
+            frames_f, augmented_f, spec, t, train=True,
+            mutable=["batch_stats"], method="two_view_forward",
         )
         hw = hardway_loss(out.logits) * loss_weight
         aug = hardway_loss(out2.logits) * loss_weight
