@@ -48,6 +48,21 @@ class AVENet(nn.Module):
         aud = self.encode_audio(audio, train=train)
         return hardway_head(img, aud, self.hardway, aud_all=aud_all)
 
+    def forward_shared_audio(self, frames, audio,
+                             train: bool = False) -> HardwayOutput:
+        """Forward with one audio clip shared by a group of frames: encode
+        the B unique spectrograms once, tile the pooled features over the
+        frames-per-clip factor.  Used by per-frame eval, where every frame
+        of a video is scored against the same clip audio
+        (`train_hardway.py:171-173` repeats the spectrogram instead).
+
+        frames: (B*K, H, W, 3); audio: (B, F, Tt, 1) with K = frames/clip.
+        """
+        aud = self.encode_audio(audio, train=train)               # (B, 512)
+        aud = jnp.repeat(aud, frames.shape[0] // aud.shape[0], axis=0)
+        img = self.encode_image(frames, train=train)
+        return hardway_head(img, aud, self.hardway)
+
     def two_view_forward(self, frames, augmented, audio, t: int,
                          train: bool = True) -> tuple[HardwayOutput, HardwayOutput]:
         """Both training views with the audio encoded ONCE per clip.

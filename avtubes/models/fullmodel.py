@@ -50,3 +50,17 @@ class FullModel(nn.Module):
                 "clip spectrogram per frame before calling"
             )
         return hardway_head(vid, aud, self.hardway, aud_all=aud_all)
+
+    def forward_shared_audio(self, audio, video, train: bool = True) -> HardwayOutput:
+        """Forward with the audio encoded ONCE per clip and features tiled
+        over T — identical math to repeating the spectrogram (see
+        AVENet.two_view_forward), ~T x less audio compute.
+
+        audio: (B, F, Tt, 1) unique per-clip spectrograms; video (B, T, H, W, 3).
+        """
+        vid = self.encode_video(video, train=train)
+        b, t, h, w, c = vid.shape
+        vid = vid.reshape(b * t, h, w, c)
+        aud = self.encode_audio(audio, train=train)          # (B, 512)
+        aud = jnp.repeat(aud, t, axis=0)                     # (B*T, 512)
+        return hardway_head(vid, aud, self.hardway)

@@ -30,7 +30,7 @@ from avtubes.evaluation import (
     mtc,
     vggss_gt_from_bboxes,
 )
-from avtubes.train.steps import eval_heatmap_step
+from avtubes.train.steps import eval_heatmap_shared_step
 
 
 def make_gt_lookup(data_cfg: DataConfig, per_frame: bool = False,
@@ -102,8 +102,7 @@ def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: Spectrogram
             continue
         frames = normalize_imagenet(jnp.asarray(clip[idxs]))
         spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
-        spec = jnp.tile(spec1, (len(idxs), 1, 1, 1))
-        heat = eval_heatmap_step(state, frames, spec)
+        heat = eval_heatmap_shared_step(state, frames, spec1)
         masks = np.asarray(heatmap_to_mask_batch(heat))
         iou = [ciou_single(masks[j], gt_lookup(sample["id"], fi), 0.5)
                for j, fi in enumerate(idxs)]

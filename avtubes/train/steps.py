@@ -160,16 +160,20 @@ def train3d_step(
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """3D tube training: hard-way CE over (b·t); NP-ratio logged, not
     backpropagated (working-path semantics of `train_3D.py:126-139`, where
-    only the CE term reaches backward())."""
+    only the CE term reaches backward()).
+
+    Audio is encoded once per clip and the pooled features tiled over T
+    (forward_shared_audio) — identical math to the reference's T-fold
+    spectrogram repeat (`train_3D.py:128-131`), ~T x less audio compute."""
     from avtubes.losses import np_ratio_loss
 
     b, t = video.shape[:2]
-    spec_f = jnp.repeat(spec, t, axis=0)
 
     def loss_fn(params):
         out, mut = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            spec_f, video, train=True, mutable=["batch_stats"],
+            spec, video, train=True, mutable=["batch_stats"],
+            method="forward_shared_audio",
         )
         loss = hardway_loss(out.logits)
         heat = out.heatmap.reshape(b, t, *out.heatmap.shape[1:])
@@ -228,7 +232,7 @@ def eval3d_heatmap_step(state: AVTrainState, video: jnp.ndarray, spec: jnp.ndarr
     b, t = video.shape[:2]
     out = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
-        jnp.repeat(spec, t, axis=0), video, train=False,
+        spec, video, train=False, method="forward_shared_audio",
     )
     return out.heatmap.reshape(b, t, *out.heatmap.shape[1:])
 
@@ -239,5 +243,17 @@ def eval_heatmap_step(state: AVTrainState, frames: jnp.ndarray, spec: jnp.ndarra
     out = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         frames, spec, train=False,
+    )
+    return out.heatmap
+
+
+@jax.jit
+def eval_heatmap_shared_step(state: AVTrainState, frames: jnp.ndarray,
+                             spec: jnp.ndarray):
+    """Per-frame inference with shared clip audio: (B*K,H,W,3)+(B,F,T,1) ->
+    (B*K,14,14) heatmaps, audio encoded once per clip instead of per frame."""
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        frames, spec, train=False, method="forward_shared_audio",
     )
     return out.heatmap
