@@ -54,21 +54,23 @@ def heatmap_to_mask(heatmap: np.ndarray, size: int = IMG) -> np.ndarray:
     return out
 
 
-def heatmap_to_mask_batch(heatmaps: jnp.ndarray, size: int = IMG) -> jnp.ndarray:
+def heatmap_to_mask_batch(heatmaps: jnp.ndarray, size: int = IMG,
+                          impl: str = "auto") -> jnp.ndarray:
     """Batched on-device postprocess: (B, h, w) heatmaps -> (B, size, size) {0,1} masks.
 
     Matches `heatmap_to_mask` per sample; the median is the value at sorted
     index size*size/2 per map, and the mask keeps pixels strictly above it.
+    The k-th value comes from an exact bit-space bisection instead of a full
+    sort (avtubes.ops.median_select — Pallas on TPU), bit-identical to
+    `jnp.sort(pred)[k]` and ~10x cheaper.
     """
+    from avtubes.ops.median_select import median_mask
+
     b = heatmaps.shape[0]
     up = jax.image.resize(heatmaps.astype(jnp.float32), (b, size, size), method="linear")
     flat = up.reshape(b, -1)
     lo = flat.min(axis=1, keepdims=True)
     hi = flat.max(axis=1, keepdims=True)
     denom = jnp.where(hi - lo == 0, 1.0, hi - lo)
-    pred = (flat - lo) / denom
-    # kth value at index size*size/2 of the ascending sort == reference threshold
-    k = size * size // 2
-    thr = jnp.sort(pred, axis=1)[:, k][:, None]
-    mask = (pred > thr).astype(jnp.float32)
-    return mask.reshape(b, size, size)
+    pred = ((flat - lo) / denom).reshape(b, size, size)
+    return median_mask(pred, k=size * size // 2, impl=impl)
