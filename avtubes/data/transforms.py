@@ -198,9 +198,19 @@ def _hue_shift(x: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r2 = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g2 = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b2 = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # per-element pick via a where chain: jnp.choose lowers to general
+    # gathers on TPU (measured 80 ms/step — 10x the whole fwd+bwd);
+    # selects are pure VPU and fuse with the surrounding elementwise ops.
+    def pick(opts):
+        out = opts[-1]
+        for k in range(len(opts) - 2, -1, -1):
+            out = jnp.where(i == k, opts[k], out)
+        return out
+
+    r2 = pick([v, q, p, p, t, v])
+    g2 = pick([t, v, v, q, p, p])
+    b2 = pick([p, p, t, v, v, q])
     return jnp.stack([r2, g2, b2], axis=-1)
 
 

@@ -124,3 +124,51 @@ def test_normalize_imagenet_values():
     out = np.asarray(normalize_imagenet(x))
     expected = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
     np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_hue_shift_pick_matches_choose():
+    """The where-chain HSV sector pick must equal the jnp.choose oracle
+    (replaced for speed: choose lowers to general gathers on TPU)."""
+    import jax.numpy as jnp
+
+    from avtubes.data.transforms import _hue_shift
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((3, 17, 17, 3), dtype=np.float32))
+    for shift in (-0.37, 0.0, 0.11, 0.5):
+        got = np.asarray(_hue_shift(x, jnp.float32(shift)))
+        want = np.asarray(_hue_shift_choose(x, jnp.float32(shift)))
+        np.testing.assert_allclose(got, want, atol=0, rtol=0)
+    # shift=0 is identity up to float round-trip error
+    np.testing.assert_allclose(np.asarray(_hue_shift(x, jnp.float32(0.0))),
+                               np.asarray(x), atol=1e-5)
+
+
+def _hue_shift_choose(x, shift):
+    """Oracle transcription of _hue_shift using jnp.choose (original impl)."""
+    import jax.numpy as jnp
+
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    rng_ = maxc - minc
+    s = jnp.where(maxc > 0, rng_ / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(rng_, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(rng_ == 0, 0.0, h)
+    h = (h + shift) % 1.0
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g2 = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b2 = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r2, g2, b2], axis=-1)
