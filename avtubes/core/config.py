@@ -52,6 +52,8 @@ class TrainConfig:
     negative_pool: str = "global"      # 'global' | 'device' (DataParallel parity)
     log_every: int = 10
     group_steps: int = 1               # optimizer steps fused per dispatch (lax.scan)
+    remat: bool = False                # rematerialize backbones in backward
+    #                                    (fits the bs=20 recipe in one chip's HBM)
     checkpoint_every_epochs: int = 1
     use_pretrained: bool = False
     pretrained_path: str = ""
@@ -98,6 +100,7 @@ class ExperimentConfig:
         p.add_argument("--negative_pool", default="global", type=str)
         p.add_argument("--synthetic", action="store_true", default=False)
         p.add_argument("--group_steps", default=1, type=int)
+        p.add_argument("--remat", action="store_true", default=False)
         p.add_argument("--steps", default=0, type=int, help="cap steps/epoch (0 = full)")
         a = p.parse_args(argv)
         cfg = cls(
@@ -117,7 +120,7 @@ class ExperimentConfig:
                 summaries_dir=a.summaries_dir, seed=a.seed,
                 compute_dtype=a.compute_dtype, negative_pool=a.negative_pool,
                 use_pretrained=a.use_pretrained, group_steps=a.group_steps,
-                steps_cap=a.steps,
+                steps_cap=a.steps, remat=a.remat,
             ),
             hardway=HardwayConfig(
                 epsilon=a.epsilon, epsilon2=a.epsilon2, trimap=a.tri_map, use_neg=a.Neg,

@@ -26,20 +26,26 @@ class AVENet(nn.Module):
     hardway: HardwayConfig = HardwayConfig()
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False  # space-to-depth stems (exact transform; faster on TPU)
+    remat: bool = False     # checkpoint the backbones: recompute activations in
+    #                         backward instead of stashing them (HBM for FLOPs —
+    #                         fits the reference bs=20 x 16-frame x 2-view recipe
+    #                         on one chip). Same math, same params.
 
     def setup(self):
-        self.imgnet = ResNet2D(modal="vision", dtype=self.dtype,
-                               s2d_stem=self.s2d_stem, name="imgnet")
-        self.audnet = ResNet2D(modal="audio", dtype=self.dtype,
-                               s2d_stem=self.s2d_stem, name="audnet")
+        # static_argnums=(2,) = the `train` flag of ResNet2D.__call__
+        net = nn.remat(ResNet2D, static_argnums=(2,)) if self.remat else ResNet2D
+        self.imgnet = net(modal="vision", dtype=self.dtype,
+                          s2d_stem=self.s2d_stem, name="imgnet")
+        self.audnet = net(modal="audio", dtype=self.dtype,
+                          s2d_stem=self.s2d_stem, name="audnet")
 
     def encode_image(self, image, train: bool = True) -> jnp.ndarray:
         """(B, H, W, 3) -> (B, H/16, W/16, 512) spatial features."""
-        return self.imgnet(image, train=train)
+        return self.imgnet(image, train)  # positional: remat static_argnums
 
     def encode_audio(self, audio, train: bool = True) -> jnp.ndarray:
         """(B, F, T, 1) -> (B, 512) via global max pool (AdaptiveMaxPool2d(1,1))."""
-        feats = self.audnet(audio, train=train)
+        feats = self.audnet(audio, train)
         return feats.max(axis=(1, 2))
 
     def __call__(self, image, audio, train: bool = True,

@@ -25,17 +25,20 @@ from avtubes.models.resnet3d import ResNet3D
 class FullModel(nn.Module):
     hardway: HardwayConfig = HardwayConfig()
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # checkpoint backbones (recompute in backward)
 
     def setup(self):
-        self.vidnet = ResNet3D(dtype=self.dtype, name="vidnet")
-        self.audnet = ResNet2D(modal="audio", dtype=self.dtype, name="audnet")
+        net3d = nn.remat(ResNet3D, static_argnums=(2,)) if self.remat else ResNet3D
+        net2d = nn.remat(ResNet2D, static_argnums=(2,)) if self.remat else ResNet2D
+        self.vidnet = net3d(dtype=self.dtype, name="vidnet")
+        self.audnet = net2d(modal="audio", dtype=self.dtype, name="audnet")
 
     def encode_video(self, video, train: bool = True) -> jnp.ndarray:
         """(B, T, H, W, 3) -> (B, T, H/16, W/16, 512)."""
-        return self.vidnet(video, train=train)
+        return self.vidnet(video, train)  # positional: remat static_argnums
 
     def encode_audio(self, audio, train: bool = True) -> jnp.ndarray:
-        feats = self.audnet(audio, train=train)
+        feats = self.audnet(audio, train)
         return feats.max(axis=(1, 2))  # AdaptiveMaxPool2d((1,1))
 
     def __call__(self, audio, video, train: bool = True,

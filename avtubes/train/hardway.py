@@ -35,7 +35,7 @@ from avtubes.utils.logging import MetricLogger
 
 def build_model(cfg: ExperimentConfig) -> AVENet:
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-    return AVENet(hardway=cfg.hardway, dtype=dtype)
+    return AVENet(hardway=cfg.hardway, dtype=dtype, remat=cfg.train.remat)
 
 
 def build_sources(cfg: ExperimentConfig):

@@ -25,7 +25,7 @@ from avtubes.utils.logging import MetricLogger
 def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d") -> dict:
     d, o = cfg.data, cfg.optim
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-    model = FullModel(hardway=cfg.hardway, dtype=dtype)
+    model = FullModel(hardway=cfg.hardway, dtype=dtype, remat=cfg.train.remat)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
 
     train_src, _ = build_sources(cfg)
