@@ -113,3 +113,33 @@ def test_avenet_train_mode_updates_batch_stats():
     leaves_before = jax.tree_util.tree_leaves(vars_["batch_stats"])
     leaves_after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after))
+
+
+def test_remat_is_math_invariant():
+    """remat=True must keep the variable tree, outputs, and train-step loss
+    identical (it trades HBM for recompute, nothing else)."""
+    import jax
+
+    from avtubes.core.config import ExperimentConfig
+    from avtubes.train.state import create_train_state
+    from avtubes.train.steps import hardway_train_step
+
+    cfg = ExperimentConfig()
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+    aud = jnp.asarray(rng.random((2, 80, 90, 1), np.float32))
+    m0 = AVENet(hardway=cfg.hardway)
+    m1 = AVENet(hardway=cfg.hardway, remat=True)
+    v0 = m0.init(jax.random.PRNGKey(0), img, aud, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), img, aud, train=False)
+    assert (jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1))
+    o0 = m0.apply(v0, img, aud, train=False)
+    o1 = m1.apply(v1, img, aud, train=False)
+    np.testing.assert_allclose(np.asarray(o0.logits), np.asarray(o1.logits),
+                               rtol=1e-6)
+    frames = jnp.asarray(rng.random((2, 2, 64, 64, 3), np.float32))
+    st0 = create_train_state(m0, jax.random.PRNGKey(0), (img, aud), cfg.optim, 4)
+    st1 = create_train_state(m1, jax.random.PRNGKey(0), (img, aud), cfg.optim, 4)
+    _, mt0 = hardway_train_step(st0, frames, frames, aud, 0.1)
+    _, mt1 = hardway_train_step(st1, frames, frames, aud, 0.1)
+    np.testing.assert_allclose(float(mt0["loss"]), float(mt1["loss"]), rtol=1e-6)
