@@ -57,7 +57,6 @@ def flow_train_step(state, flow_variables, frames, spec,
     """frames (B,T,H,W,3), spec (B,F,Tt,1); flow net frozen within the step."""
     b, t = frames.shape[:2]
     frames_f = frames.reshape(b * t, *frames.shape[2:])
-    spec_f = jnp.repeat(spec, t, axis=0)
 
     # flow between consecutive frame pairs (no grad into the flow net here)
     im1 = frames[:, :-1].reshape(b * (t - 1), *frames.shape[2:])
@@ -66,9 +65,12 @@ def flow_train_step(state, flow_variables, frames, spec,
     flow = jax.lax.stop_gradient(flow)
 
     def loss_fn(params):
+        # audio encoded once per clip, pooled features tiled over T
+        # (forward_shared_audio — same math as the reference's T-fold repeat)
         out, mut = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            frames_f, spec_f, train=True, mutable=["batch_stats"],
+            frames_f, spec, train=True, mutable=["batch_stats"],
+            method="forward_shared_audio",
         )
         ce = hardway_loss(out.logits)
         pos = out.pos.reshape(b, t, *out.pos.shape[1:])          # (B,T,h,w)
