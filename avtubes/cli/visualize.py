@@ -27,7 +27,11 @@ from avtubes.evaluation import ciou_single, heatmap_to_mask_batch
 from avtubes.train.evaluate import make_gt_lookup
 from avtubes.train.hardway import _synthetic_gt_lookup, build_model
 from avtubes.train.state import create_train_state
-from avtubes.train.steps import eval_heatmap_step, hardway_1frame_train_step
+from avtubes.train.steps import (
+    eval_heatmap_shared_step,
+    eval_heatmap_step,
+    hardway_1frame_train_step,
+)
 from avtubes.utils.visual import overlay_heatmap
 
 
@@ -106,8 +110,7 @@ def main(argv=None):
                 continue
             frames = normalize_imagenet(jnp.asarray(clip[idxs]))
             spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)
-            spec = jnp.tile(spec1[None, ..., None], (len(idxs), 1, 1, 1))
-            heat = eval_heatmap_step(state, frames, spec)
+            heat = eval_heatmap_shared_step(state, frames, spec1[None, ..., None])
             masks = np.asarray(heatmap_to_mask_batch(heat))
             vdir = out / sample["id"]
             vdir.mkdir(exist_ok=True)
