@@ -1,0 +1,54 @@
+"""AOT export/serving roundtrip: serialized artifact must reproduce the
+live pipeline bit-for-bit and accept multiple batch sizes (symbolic dim)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avtubes.core.config import ExperimentConfig
+from avtubes.core.export import export_localizer, load_localizer
+from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
+from avtubes.data.transforms import normalize_imagenet
+from avtubes.evaluation.postprocess import heatmap_to_mask_batch
+from avtubes.models import AVENet
+from avtubes.train.state import create_train_state
+
+IMG = 64
+
+
+def _tiny_state():
+    cfg = ExperimentConfig()
+    spec_cfg = SpectrogramConfig(samplerate=8000, seconds=1)
+    model = AVENet(hardway=cfg.hardway)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+        cfg.optim, 4)
+    return state, spec_cfg
+
+
+def test_export_roundtrip_matches_live():
+    state, spec_cfg = _tiny_state()
+    blob = export_localizer(state, spec_cfg, image_size=IMG,
+                            platforms=("cpu",))
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    fn = load_localizer(blob)
+
+    rng = np.random.default_rng(0)
+    for b in (2, 3):  # symbolic batch: two different sizes, no re-export
+        frames = jnp.asarray(rng.integers(0, 255, (b, IMG, IMG, 3), np.uint8))
+        waves = jnp.asarray(rng.random((b, spec_cfg.num_samples), np.float32))
+        masks, heat = fn(frames, waves)
+
+        spec = log_spectrogram(waves, spec_cfg)[..., None]
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            normalize_imagenet(frames), spec, train=False)
+        np.testing.assert_allclose(np.asarray(heat), np.asarray(out.heatmap),
+                                   rtol=1e-6, atol=1e-6)
+        # masks binarize at the exact median; different fusion in the
+        # exported program can flip a few resize ulps right at the
+        # threshold (same tolerance as the TPU-vs-host parity note)
+        want = np.asarray(heatmap_to_mask_batch(out.heatmap))
+        flips = np.abs(np.asarray(masks) - want).sum(axis=(1, 2))
+        assert flips.max() <= 16, f"per-map pixel flips {flips}"
