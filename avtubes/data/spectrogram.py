@@ -137,6 +137,58 @@ def log_spectrogram(x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()
     return jnp.swapaxes(spec, -1, -2)                   # (..., F, T) like scipy
 
 
+def mel_filterbank(cfg: SpectrogramConfig, n_mels: int,
+                   fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """(num_freqs, n_mels) Slaney-style triangular mel filterbank.
+
+    HTK mel scale (2595 log10(1 + f/700)), area-normalized triangles
+    (Slaney norm) — the standard log-mel front-end named by the build's
+    north-star spec (BASELINE.json); the reference itself trains on the
+    plain log-spectrogram, so mel stays opt-in (`log_mel_spectrogram`).
+    """
+    fmax = fmax if fmax is not None else cfg.samplerate / 2.0
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    freqs = np.linspace(0, cfg.samplerate / 2.0, cfg.num_freqs)
+    fb = np.zeros((cfg.num_freqs, n_mels))
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-12)
+        down = (hi - freqs) / max(hi - ctr, 1e-12)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+        fb[:, m] *= 2.0 / max(hi - lo, 1e-12)  # Slaney area norm
+    return fb
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def log_mel_spectrogram(x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig(),
+                        n_mels: int = 128) -> jnp.ndarray:
+    """Batched device log-mel: (..., num_samples) -> (..., n_mels, T).
+
+    Linear power spectrogram (same STFT path as `log_spectrogram`, PSD
+    scaling included) -> mel filterbank matmul (MXU) -> log/std normalize.
+    """
+    x = x.astype(jnp.float32)
+    frames = frame_signal(x, cfg)
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    cosm, sinm = _dft_matrices(cfg)
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    re = dot(frames, jnp.asarray(cosm, jnp.float32))
+    im = dot(frames, jnp.asarray(sinm, jnp.float32))
+    power = re * re + im * im
+    power = power * jnp.asarray(_onesided_scale(cfg), jnp.float32)
+    mel = dot(power, jnp.asarray(mel_filterbank(cfg, n_mels), jnp.float32))
+    spec = jnp.log(mel + cfg.log_offset) / cfg.normalize_std
+    return jnp.swapaxes(spec, -1, -2)                   # (..., M, T)
+
+
 def log_spectrogram_np(x: np.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()) -> np.ndarray:
     """Float64 numpy reference (bit-comparable to scipy; used in tests/tools)."""
     fcount, nperseg, hop = cfg.num_frames, cfg.nperseg, cfg.hop

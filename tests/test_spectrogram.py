@@ -93,3 +93,48 @@ def test_wav_stereo(tmp_path):
     assert y.shape == (100, 2)
     mono = prepare_waveform(y, sr, seconds=1)
     assert np.abs(mono).max() < 1e-4  # downmix cancels
+
+
+def test_mel_filterbank_properties():
+    """Triangles: non-negative, correct shape, peaks at the center bins,
+    and Slaney area-normalization (each filter integrates to ~2/(hi-lo) *
+    triangle area = 1 over Hz)."""
+    from avtubes.data.spectrogram import SpectrogramConfig, mel_filterbank
+
+    cfg = SpectrogramConfig()
+    fb = mel_filterbank(cfg, n_mels=64)
+    assert fb.shape == (cfg.num_freqs, 64)
+    assert (fb >= 0).all()
+    # each filter is nonzero somewhere and unimodal (one contiguous support)
+    for m in range(64):
+        nz = np.nonzero(fb[:, m])[0]
+        assert nz.size > 0
+        assert (np.diff(nz) == 1).all()
+    # Slaney norm: sum(fb * df) over freq ~ 1 for interior filters
+    df = cfg.samplerate / 2.0 / (cfg.num_freqs - 1)
+    areas = fb.sum(axis=0) * df
+    assert np.all(np.abs(areas[5:-5] - 1.0) < 0.2), areas[5:-5]
+
+
+def test_log_mel_spectrogram_matches_numpy():
+    """Device log-mel == filterbank applied to the float64 linear power."""
+    from avtubes.data.spectrogram import (
+        SpectrogramConfig,
+        log_mel_spectrogram,
+        mel_filterbank,
+        log_spectrogram_np,
+    )
+
+    cfg = SpectrogramConfig(samplerate=8000, seconds=1)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(cfg.num_samples).astype(np.float32)
+    import jax.numpy as jnp
+
+    got = np.asarray(log_mel_spectrogram(jnp.asarray(x), cfg, 40))
+
+    # numpy oracle: undo the log/std on the linear reference, apply fb
+    lin = np.exp(log_spectrogram_np(x, cfg) * cfg.normalize_std) - cfg.log_offset
+    mel = mel_filterbank(cfg, 40).T @ lin
+    want = np.log(mel + cfg.log_offset) / cfg.normalize_std
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert got.shape == (40, cfg.num_frames)
