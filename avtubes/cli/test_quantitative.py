@@ -82,13 +82,18 @@ def _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup):
     from avtubes.data.transforms import normalize_imagenet
     from avtubes.evaluation import auc_from_ciou, ciou_single, heatmap_to_mask_batch
 
+    from avtubes.models.hardway import hardway_head
+
+    def joint(m, f, s, train):
+        img = m.encode_image(f, train=train)  # encoded once, used by both maps
+        aud = m.encode_audio(s, train=train)
+        return hardway_head(img, aud, m.hardway), img
+
     @jax.jit
     def both_maps(frames, spec):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        out, feats = state.apply_fn(
-            variables, frames, spec, train=False,
-            method=lambda m, f, s, train: (m(f, s, train=train),
-                                           m.encode_image(f, train=train)))
+        out, feats = state.apply_fn(variables, frames, spec, train=False,
+                                    method=joint)
         return out.heatmap, feats.mean(axis=-1)
 
     cious = []
