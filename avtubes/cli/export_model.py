@@ -1,0 +1,73 @@
+"""CLI: export a trained checkpoint as a serving artifact.
+
+Serializes the full inference pipeline (waveform -> log-spectrogram ->
+encoders -> median-threshold mask) to a batch-polymorphic StableHLO blob
+(`avtubes.core.export`).  The artifact needs only jax at load time — no
+model code, no checkpoint format.
+
+Usage:
+    python -m avtubes.cli.export_model --summaries_dir /ckpts \
+        --out model.avt [--platforms cpu,tpu] [--batch 8]
+
+Smoke:  python -m avtubes.cli.export_model --synthetic --image_size 64 \
+            --summaries_dir /tmp/ckpts --out /tmp/model.avt --platforms cpu
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from avtubes.core.checkpoint import latest_checkpoint, restore_checkpoint
+from avtubes.core.config import ExperimentConfig
+from avtubes.core.export import export_localizer
+from avtubes.data.spectrogram import SpectrogramConfig
+from avtubes.train.hardway import build_model
+from avtubes.train.state import create_train_state
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def take(flag, default=None):
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+            return val
+        return default
+
+    out = take("--out", "model.avt")
+    platforms = take("--platforms")
+    platforms = tuple(platforms.split(",")) if platforms else None
+    batch = take("--batch", "b")
+    batch = int(batch) if batch.isdigit() else batch
+
+    cfg = ExperimentConfig.from_args(argv)
+    d = cfg.data
+    spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
+    model = build_model(cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (jnp.zeros((2, d.image_size, d.image_size, 3)),
+         jnp.zeros((2, *spec_cfg.shape, 1))),
+        cfg.optim)
+
+    ckpt = cfg.train.pretrained_path or latest_checkpoint(cfg.train.summaries_dir,
+                                                          "hardway16")
+    if ckpt:
+        state, epoch = restore_checkpoint(ckpt, state)
+        print(f"loaded {ckpt} (epoch {epoch})")
+    else:
+        print("WARNING: no checkpoint found — exporting untrained weights")
+
+    blob = export_localizer(state, spec_cfg, batch=batch,
+                            image_size=d.image_size, platforms=platforms)
+    Path(out).write_bytes(blob)
+    print(f"wrote {out} ({len(blob) / 1e6:.1f} MB, batch={batch}, "
+          f"platforms={platforms or 'default'})")
+
+
+if __name__ == "__main__":
+    main()
