@@ -65,6 +65,51 @@ def restore_checkpoint(path: str | Path, state) -> tuple[Any, int]:
     return new_state, int(restored["epoch"])
 
 
+class PreemptionGuard:
+    """Preemption-safe training: catch SIGTERM/SIGINT, let the current step
+    finish, then the trainer saves a checkpoint and exits cleanly so a
+    restart (`--use_pretrained`) resumes at the same epoch.
+
+    Usage (inside the epoch loop):
+        guard = PreemptionGuard()
+        ...
+        if guard.preempted:
+            save_checkpoint(...); break
+
+    Signal handlers are only installed in the main thread (a no-op guard
+    otherwise, e.g. under test runners that use worker threads).
+    """
+
+    def __init__(self):
+        import signal
+        import threading
+
+        self.preempted = False
+        self._prev = {}
+        if threading.current_thread() is not threading.main_thread():
+            return
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):  # non-main interpreter contexts
+                pass
+
+    def _handler(self, signum, frame):
+        print(f"[checkpoint] signal {signum}: finishing step, then "
+              "checkpoint + clean exit")
+        self.preempted = True
+
+    def restore(self):
+        """Reinstall the original handlers (call when training ends)."""
+        import signal
+
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+
+
 def latest_checkpoint(summaries_dir: str | Path, tag: str) -> Path | None:
     root = Path(summaries_dir)
     if not root.exists():

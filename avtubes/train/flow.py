@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from avtubes.core.checkpoint import save_checkpoint
+from avtubes.core.checkpoint import PreemptionGuard, save_checkpoint
 from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.pipeline import BatchLoader, device_prefetch
@@ -118,6 +118,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
 
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
     last: dict = {}
+    guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
     for epoch in range(o.epochs):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 4), epoch)
         step_in_epoch = 0
@@ -132,7 +133,16 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
             step_in_epoch += 1
             logger.log(step=int(state.step), epoch=epoch,
                        **{k: float(v) for k, v in metrics.items()})
+            if guard.preempted:
+                break
         last = {k: float(v) for k, v in metrics.items()}
+        if guard.preempted:
+            # partial epoch: save under the previous epoch number so a
+            # resume re-runs this epoch from the top
+            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            print(f"[train] preempted during epoch {epoch}; checkpoint saved")
+            break
         save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
     logger.close()
+    guard.restore()
     return last

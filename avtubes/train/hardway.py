@@ -14,7 +14,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from avtubes.core.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from avtubes.core.checkpoint import (
+    PreemptionGuard,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.index import load_split
@@ -99,6 +104,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             print(f"[train] resumed from {ckpt} at epoch {start_epoch}")
 
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
+    guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
     last_metrics: dict = {}
     group = max(1, cfg.train.group_steps)
     for epoch in range(start_epoch, o.epochs):
@@ -131,7 +137,15 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in metrics.items()})
+            if guard.preempted:
+                break
         last_metrics = {k: float(v) for k, v in metrics.items()}
+        if guard.preempted:
+            # save under the PREVIOUS epoch number: this epoch is partial,
+            # resume re-runs it from the top
+            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            print(f"[train] preempted during epoch {epoch}; checkpoint saved")
+            break
 
         if do_eval:
             test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
@@ -168,6 +182,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
 
     logger.close()
+    guard.restore()
     last_metrics["skipped_samples"] = loader.skipped
     return last_metrics
 

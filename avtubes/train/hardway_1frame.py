@@ -10,7 +10,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from avtubes.core.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from avtubes.core.checkpoint import (
+    PreemptionGuard,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.pipeline import BatchLoader, device_prefetch
@@ -53,6 +58,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
 
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
     last: dict = {}
+    guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
     for epoch in range(start_epoch, o.epochs):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 3), epoch)
         step_in_epoch = 0
@@ -67,7 +73,15 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in metrics.items()})
+            if guard.preempted:
+                break
         last = {k: float(v) for k, v in metrics.items()}
+        if guard.preempted:
+            # partial epoch: save under the previous epoch number so a
+            # resume re-runs this epoch from the top
+            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            print(f"[train] preempted during epoch {epoch}; checkpoint saved")
+            break
 
         if do_eval:
             test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
@@ -81,4 +95,5 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
         if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
             save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
     logger.close()
+    guard.restore()
     return last

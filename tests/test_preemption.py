@@ -1,0 +1,46 @@
+"""Preemption safety: SIGTERM mid-training -> clean checkpoint -> resume.
+
+Runs the synthetic flagship trainer in a subprocess, SIGTERMs it during the
+first (slow, multi-epoch) run, and asserts it exits 0 after writing a
+resumable checkpoint.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
+        " --xla_force_host_platform_device_count=8"
+    cmd = [sys.executable, "-m", "avtubes.cli.train_hardway", "--synthetic",
+           "--epochs", "50", "--steps", "2", "--batch_size", "2",
+           "--frame_density", "2", "--image_size", "64",
+           "--summaries_dir", str(tmp_path)]
+    proc = subprocess.Popen(cmd, cwd=REPO, env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    # wait until at least one epoch checkpoint exists (training is live),
+    # then preempt
+    deadline = time.time() + 540
+    while time.time() < deadline:
+        if any(p.name.startswith("hardway16_ep") for p in tmp_path.iterdir()):
+            break
+        if proc.poll() is not None:
+            raise AssertionError(f"trainer died early:\n{proc.stdout.read()}")
+        time.sleep(2)
+    else:
+        proc.kill()
+        raise AssertionError("no checkpoint appeared within the deadline")
+
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=540)
+    assert proc.returncode == 0, f"non-clean exit {proc.returncode}:\n{out}"
+    assert "preempted" in out or "final:" in out  # guard fired or run finished
+    assert any(p.name.startswith("hardway16_ep") for p in tmp_path.iterdir())
