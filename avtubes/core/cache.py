@@ -10,13 +10,48 @@ from __future__ import annotations
 import os
 
 
+def _version_tag() -> str:
+    """Fingerprint of the compiler stack WITHOUT initializing any backend.
+
+    AOT executables serialized by one libtpu build fail FAILED_PRECONDITION
+    when deserialized against another (rolling upgrades mid-flight), so the
+    cache directory is scoped to the installed jax/jaxlib/libtpu versions —
+    a new build simply starts a fresh cache instead of crashing.
+    """
+    import jax
+
+    parts = [f"jax-{jax.__version__}"]
+    try:
+        from importlib.metadata import version
+
+        for pkg in ("jaxlib", "libtpu", "libtpu-nightly"):
+            try:
+                parts.append(f"{pkg}-{version(pkg)}")
+            except Exception:
+                pass
+    except Exception:
+        pass
+    return "_".join(parts)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
-    cache_dir = path or os.environ.get("AVTUBES_JAX_CACHE", "/tmp/avtubes_jax_cache")
+    base = path or os.environ.get("AVTUBES_JAX_CACHE", "/tmp/avtubes_jax_cache")
+    cache_dir = os.path.join(base, _version_tag())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception as e:  # cache support varies by backend; never fatal
         print(f"[cache] persistent compilation cache unavailable: {e}")
+
+
+def disable_compilation_cache() -> None:
+    """Turn the persistent cache off (hermetic runs, e.g. multichip dryrun)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
