@@ -91,7 +91,10 @@ class ExperimentConfig:
         p.add_argument("--frame_density", default=16, type=int)
         p.add_argument("--sampling_rate", default=16, type=int)
         p.add_argument("--loss_weight", default=0.1, type=float)
-        p.add_argument("--use_pretrained", default=False, type=bool)
+        # store_true, NOT type=bool: `--use_pretrained False` would parse
+        # as True under type=bool (any non-empty string is truthy)
+        p.add_argument("--use_pretrained", action="store_true", default=False)
+        p.add_argument("--pretrained_path", default="", type=str)
         p.add_argument("--epoch_threshold", default=10, type=int)
         # new (TPU build) flags
         p.add_argument("--subset", default=10, type=int)
@@ -119,7 +122,8 @@ class ExperimentConfig:
             train=TrainConfig(
                 summaries_dir=a.summaries_dir, seed=a.seed,
                 compute_dtype=a.compute_dtype, negative_pool=a.negative_pool,
-                use_pretrained=a.use_pretrained, group_steps=a.group_steps,
+                use_pretrained=a.use_pretrained, pretrained_path=a.pretrained_path,
+                group_steps=a.group_steps,
                 steps_cap=a.steps, remat=a.remat,
             ),
             hardway=HardwayConfig(

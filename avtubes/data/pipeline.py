@@ -192,13 +192,15 @@ class BatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
-        self.skipped = 0
+        self.skipped = 0            # total across all epochs
+        self.epoch_skipped = 0      # last-started epoch only
 
     def __len__(self) -> int:
         n = len(self.source)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
+        self.epoch_skipped = 0
         order = np.arange(len(self.source))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
@@ -221,8 +223,8 @@ class BatchLoader:
                 rng = np.random.RandomState((self.seed + epoch) * 1_000_003 + pos)
                 try:
                     done.put((pos, self.source.load(idx, rng)))
-                except SkippedSampleError:
-                    done.put((pos, None))
+                except SkippedSampleError as e:
+                    done.put((pos, e))  # main loop reports + counts
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -246,8 +248,12 @@ class BatchLoader:
             while next_pos in pending:  # preserve deterministic order
                 s = pending.pop(next_pos)
                 next_pos += 1
-                if s is None:
+                if isinstance(s, SkippedSampleError):
+                    # loud per-occurrence report (the reference prints decode
+                    # failures as they happen) + per-epoch count to localize rot
                     self.skipped += 1
+                    self.epoch_skipped += 1
+                    print(f"[loader] epoch {epoch}: skipping sample: {s}")
                 else:
                     buf.append(s)
                 if len(buf) == self.batch_size:

@@ -136,6 +136,9 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
             if guard.preempted:
                 break
         last = {k: float(v) for k, v in metrics.items()}
+        if loader.epoch_skipped:
+            logger.log(step=int(state.step), epoch=epoch,
+                       epoch_skipped=loader.epoch_skipped)
         if guard.preempted:
             # partial epoch: save under the previous epoch number so a
             # resume re-runs this epoch from the top

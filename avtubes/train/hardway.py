@@ -140,6 +140,9 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             if guard.preempted:
                 break
         last_metrics = {k: float(v) for k, v in metrics.items()}
+        if loader.epoch_skipped:
+            logger.log(step=int(state.step), epoch=epoch,
+                       epoch_skipped=loader.epoch_skipped)
         if guard.preempted:
             # save under the PREVIOUS epoch number: this epoch is partial,
             # resume re-runs it from the top

@@ -92,7 +92,28 @@ def test_batch_loader_skips_bad_samples(dataset):
     loader = BatchLoader(src, batch_size=2, num_workers=2, shuffle=False, drop_last=False)
     batches = list(loader.epoch(0))
     assert loader.skipped == 1
+    assert loader.epoch_skipped == 1
     assert sum(len(b["id"]) for b in batches) == len(ids)
+    # epoch_skipped resets per epoch; total keeps accumulating
+    list(loader.epoch(1))
+    assert loader.epoch_skipped == 1
+    assert loader.skipped == 2
+
+
+def test_flag_round_trip():
+    from avtubes.core.config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_args([
+        "--use_pretrained", "--pretrained_path", "/tmp/ck.pth.tar",
+        "--batch_size", "7", "--learning_rate", "1e-5", "--testset", "vggss",
+    ])
+    assert cfg.train.use_pretrained is True
+    assert cfg.train.pretrained_path == "/tmp/ck.pth.tar"
+    assert cfg.optim.batch_size == 7
+    assert cfg.data.testset == "vggss"
+    # the argparse trap: omitting the flag must mean False
+    cfg2 = ExperimentConfig.from_args([])
+    assert cfg2.train.use_pretrained is False
 
 
 def test_device_prefetch_passthrough():
