@@ -68,19 +68,37 @@ def l2_normalize(x: jnp.ndarray, axis=-1, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
+def global_pool_mask(b: int, k: int, offset, penalty: float = 100.0,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """(B, K) negative-pool mask for an explicitly gathered key set.
+
+    Row i's own-pair column sits at `offset + i` within the K keys (offset =
+    shard_index * B under an all-gathered pool); that column gets the same
+    `1 - penalty` exclusion the reference applies to the diagonal
+    (`/root/reference/model.py:142-144`).  `offset` may be a traced scalar
+    (jax.lax.axis_index inside shard_map).
+    """
+    own = jnp.arange(k)[None, :] == (jnp.asarray(offset) + jnp.arange(b))[:, None]
+    return jnp.where(own, 1.0 - penalty, 1.0).astype(dtype)
+
+
 def hardway_head(
     img_feats: jnp.ndarray,
     aud_feats: jnp.ndarray,
     cfg: HardwayConfig = HardwayConfig(),
     aud_all: jnp.ndarray | None = None,
+    pool_offset=0,
 ) -> HardwayOutput:
     """Compute the hard-way similarity heatmap + contrastive logits.
 
-    img_feats: (B, H, W, C) image/video-frame features (not yet normalized)
-    aud_feats: (B, C) audio features (not yet normalized)
-    aud_all:   (K, C) negative pool; defaults to aud_feats. When the batch is
-               device-sharded, pass the all-gathered pool here for a global
-               negative set.
+    img_feats:   (B, H, W, C) image/video-frame features (not yet normalized)
+    aud_feats:   (B, C) audio features (not yet normalized)
+    aud_all:     (K, C) negative pool; defaults to aud_feats. When the batch
+                 is device-sharded, pass the all-gathered pool here for a
+                 global negative set.
+    pool_offset: index of this shard's first own-pair column within aud_all
+                 (shard_index * B); only meaningful with aud_all. May be a
+                 traced scalar.
     """
     b, h, w, c = img_feats.shape
     img = l2_normalize(img_feats.astype(jnp.float32), axis=-1)
@@ -117,9 +135,8 @@ def hardway_head(
             mask = jnp.where((same > 0) & ~jnp.eye(b, dtype=bool), 1.0,
                              1.0 - cfg.mask_penalty)
     else:
-        # sharded pool: own column sits at offset my_shard*b within K — callers
-        # using aud_all must mask via parallel.global_pool_mask; identity here
-        mask = jnp.ones((b, k), dtype=sim.dtype)
+        # explicitly gathered pool: row i's own column sits at pool_offset + i
+        mask = global_pool_mask(b, k, pool_offset, cfg.mask_penalty, sim.dtype)
     sim = sim * mask
     sim2 = (neg * a).sum(-1, keepdims=True) / neg.sum(-1, keepdims=True)    # (B, 1)
 

@@ -21,7 +21,19 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from avtubes.core.mesh import DATA_AXIS
-from avtubes.models.hardway import HardwayConfig, HardwayOutput, hardway_head
+from avtubes.models.hardway import (
+    HardwayConfig,
+    HardwayOutput,
+    global_pool_mask,
+    hardway_head,
+)
+
+__all__ = [
+    "global_pool_mask",
+    "hardway_head_device_pool",
+    "hardway_head_global_pool",
+    "hardway_head_gathered_pool",
+]
 
 
 def hardway_head_device_pool(img_feats, aud_feats, cfg: HardwayConfig,
@@ -45,6 +57,31 @@ def hardway_head_device_pool(img_feats, aud_feats, cfg: HardwayConfig,
         ),
     )
     return local(img_feats, aud_feats)
+
+
+def hardway_head_gathered_pool(img_feats, aud_feats, cfg: HardwayConfig,
+                               mesh: Mesh) -> HardwayOutput:
+    """Global negative pool with an EXPLICIT all-gather (shard_map variant).
+
+    Each device all-gathers the audio features over the data axis and runs
+    the head against the full (K = global B) key set, masking its own-pair
+    columns at offset shard_index * local_B via `global_pool_mask`.
+    Numerically identical to the plain-jit global pool — this variant exists
+    to make the collective and the offset math explicit (and testable) for
+    topologies where XLA's gather placement needs pinning.
+    """
+
+    def local(img, aud):
+        keys = jax.lax.all_gather(aud, DATA_AXIS).reshape(-1, aud.shape[-1])
+        offset = jax.lax.axis_index(DATA_AXIS) * aud.shape[0]
+        return hardway_head(img, aud, cfg, aud_all=keys, pool_offset=offset)
+
+    shard = P(DATA_AXIS)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(shard, shard),
+        out_specs=HardwayOutput(heatmap=shard, logits=shard, weighted_map=shard,
+                                pos=shard, neg=shard),
+    )(img_feats, aud_feats)
 
 
 def hardway_head_global_pool(img_feats, aud_feats, cfg: HardwayConfig,
