@@ -35,16 +35,29 @@ def main(argv=None):
     use_activation = "--use_activation" in argv
     if use_activation:
         argv.remove("--use_activation")
+    tag = "hardway16"  # trainer tags: hardway16 | hardway1f | tube3d | flow
+    if "--tag" in argv:
+        i = argv.index("--tag")
+        tag = argv[i + 1]
+        del argv[i:i + 2]
     cfg = ExperimentConfig.from_args(argv)
     d = cfg.data
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
-    model = build_model(cfg)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0),
-        (jnp.zeros((1, d.image_size, d.image_size, 3)), jnp.zeros((1, *spec_cfg.shape, 1))),
-        cfg.optim,
-    )
-    ckpt = cfg.train.pretrained_path or latest_checkpoint(cfg.train.summaries_dir, "hardway16")
+    model_kind = "3d" if tag.startswith("tube") else "2d"
+    if model_kind == "3d":
+        from avtubes.models import FullModel
+
+        dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+        model = FullModel(hardway=cfg.hardway, dtype=dtype)
+        init_args = (jnp.zeros((1, *spec_cfg.shape, 1)),
+                     jnp.zeros((1, 1, d.image_size, d.image_size, 3)))
+        assert not use_activation, "--use_activation is a 2D (AVENet) predictor"
+    else:
+        model = build_model(cfg)
+        init_args = (jnp.zeros((1, d.image_size, d.image_size, 3)),
+                     jnp.zeros((1, *spec_cfg.shape, 1)))
+    state = create_train_state(model, jax.random.PRNGKey(0), init_args, cfg.optim)
+    ckpt = cfg.train.pretrained_path or latest_checkpoint(cfg.train.summaries_dir, tag)
     if ckpt:
         state, epoch = restore_checkpoint(ckpt, state)
         print(f"loaded {ckpt} (epoch {epoch})")
@@ -67,7 +80,8 @@ def main(argv=None):
     if use_activation:
         metrics = _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup)
     else:
-        metrics = evaluate_hardway(state, loader, d, spec_cfg, gt_lookup)
+        metrics = evaluate_hardway(state, loader, d, spec_cfg, gt_lookup,
+                                   model_kind=model_kind)
     print(f"Hardway Test cIoU  {metrics['hardway_ciou']}")
     print(f"Hardway Test auc   {metrics['hardway_auc']}")
     return metrics

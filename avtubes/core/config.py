@@ -55,6 +55,7 @@ class TrainConfig:
     remat: bool = False                # rematerialize backbones in backward
     #                                    (fits the bs=20 recipe in one chip's HBM)
     checkpoint_every_epochs: int = 1
+    record_qualitative: int = 0        # dump overlay JPEGs for first N eval videos
     use_pretrained: bool = False
     pretrained_path: str = ""
     steps_cap: int = 0                 # cap steps/epoch (0 = full epoch)
@@ -104,6 +105,8 @@ class ExperimentConfig:
         p.add_argument("--synthetic", action="store_true", default=False)
         p.add_argument("--group_steps", default=1, type=int)
         p.add_argument("--remat", action="store_true", default=False)
+        p.add_argument("--record_qualitative", default=0, type=int,
+                       help="dump overlay JPEGs for the first N eval videos")
         p.add_argument("--steps", default=0, type=int, help="cap steps/epoch (0 = full)")
         a = p.parse_args(argv)
         cfg = cls(
@@ -125,6 +128,7 @@ class ExperimentConfig:
                 use_pretrained=a.use_pretrained, pretrained_path=a.pretrained_path,
                 group_steps=a.group_steps,
                 steps_cap=a.steps, remat=a.remat,
+                record_qualitative=a.record_qualitative,
             ),
             hardway=HardwayConfig(
                 epsilon=a.epsilon, epsilon2=a.epsilon2, trimap=a.tri_map, use_neg=a.Neg,

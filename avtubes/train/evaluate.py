@@ -30,7 +30,7 @@ from avtubes.evaluation import (
     mtc,
     vggss_gt_from_bboxes,
 )
-from avtubes.train.steps import eval_heatmap_shared_step
+from avtubes.train.steps import eval3d_heatmap_step, eval_heatmap_shared_step
 
 
 def make_gt_lookup(data_cfg: DataConfig, per_frame: bool = False,
@@ -61,17 +61,44 @@ def _hardway_eval_masks(state, frames_uint8, waveforms, spec_cfg):
     return heatmap_to_mask_batch(out.heatmap)
 
 
+@functools.partial(jax.jit, static_argnames=("spec_cfg",))
+def _hardway_eval_masks_3d(state, frames_uint8, waveforms, spec_cfg):
+    """FullModel variant: each test frame forwarded as a T=1 clip."""
+    frames = normalize_imagenet(frames_uint8)
+    spec = log_spectrogram(waveforms, spec_cfg)[..., None]
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        spec, frames[:, None], train=False, method="forward_shared_audio",
+    )
+    return heatmap_to_mask_batch(out.heatmap)
+
+
 def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
-                     gt_lookup, epoch: int = 0) -> dict[str, float]:
-    """249-image hard-way test: cIoU@0.5 + AUC (`train_hardway.py:208-239`)."""
+                     gt_lookup, epoch: int = 0, logger=None,
+                     record: int = 0, model_kind: str = "2d") -> dict[str, float]:
+    """249-image hard-way test: cIoU@0.5 + AUC (`train_hardway.py:208-239`).
+
+    record > 0 dumps overlay JPEGs (frame + GT/pred JET compositing) for the
+    first `record` samples via logger.log_image — the reference's
+    record_qualitative path (`train_hardway.py:70-78`).
+    """
+    from avtubes.utils.visual import overlay_heatmap
+
+    mask_fn = _hardway_eval_masks_3d if model_kind == "3d" else _hardway_eval_masks
     cious = []
+    recorded = 0
     for batch in loader.epoch(epoch):
-        masks = np.asarray(_hardway_eval_masks(
+        masks = np.asarray(mask_fn(
             state, jnp.asarray(batch["frame"]), jnp.asarray(batch["waveform"]),
             spec_cfg))
         for i, vid in enumerate(batch["id"]):
             gt = gt_lookup(vid, None)
             cious.append(ciou_single(masks[i], gt, 0.5))
+            if logger is not None and recorded < record:
+                logger.log_image(f"{vid}_hardway",
+                                 overlay_heatmap(batch["frame"][i], masks[i], gt),
+                                 step=epoch)
+                recorded += 1
     cious = np.asarray(cious)
     return {
         "hardway_ciou": float(np.mean(cious >= 0.5)),
@@ -81,13 +108,22 @@ def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramC
 
 
 def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
-                      gt_lookup) -> dict[str, float]:
-    """Whole-video per-frame eval with mTC (`train_hardway.py:164-207`).
+                      gt_lookup, model_kind: str = "2d", logger=None,
+                      record: int = 0, epoch: int = 0) -> dict[str, float]:
+    """Whole-video per-frame eval with mTC (`train_hardway.py:164-207`,
+    `train_3D.py:146-186`).
 
     `source` yields {"clip": (T,224,224,3) uint8, "waveform", "id"} per video.
     Frames i = sampling_rate, i+sampling_rate, ... < T-1 are scored; a video
     shorter than one stride is skipped.
+
+    model_kind "2d" scores each sampled frame through AVENet (audio encoded
+    once per clip); "3d" passes all sampled frames as ONE clip through
+    FullModel — the reference's batched-clip trick (`train_3D.py:152-154`).
+    record > 0 dumps per-frame overlay JPEGs for the first `record` videos.
     """
+    from avtubes.utils.visual import overlay_heatmap
+
     ious, aucs, mtcs = [], [], []
     stride = data_cfg.sampling_rate
     for vi in range(len(source)):
@@ -102,13 +138,22 @@ def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: Spectrogram
             continue
         frames = normalize_imagenet(jnp.asarray(clip[idxs]))
         spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
-        heat = eval_heatmap_shared_step(state, frames, spec1)
+        if model_kind == "3d":
+            heat = eval3d_heatmap_step(state, frames[None], spec1)[0]
+        else:
+            heat = eval_heatmap_shared_step(state, frames, spec1)
         masks = np.asarray(heatmap_to_mask_batch(heat))
         iou = [ciou_single(masks[j], gt_lookup(sample["id"], fi), 0.5)
                for j, fi in enumerate(idxs)]
         ious.append(float(np.mean(np.asarray(iou) >= 0.5)))
         aucs.append(auc_from_ciou(np.asarray(iou)))
         mtcs.append(mtc([masks[j] for j in range(len(idxs))]))
+        if logger is not None and vi < record:
+            for j, fi in enumerate(idxs):
+                logger.log_image(
+                    f"{sample['id']}_test_frame_{fi}",
+                    overlay_heatmap(clip[fi], masks[j], gt_lookup(sample["id"], fi)),
+                    step=epoch)
     if not ious:
         return {"test_ciou": float("nan"), "test_auc": float("nan"), "test_mtc": float("nan")}
     return {

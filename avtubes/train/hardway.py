@@ -159,7 +159,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             else:
                 gt_lookup = make_gt_lookup(d)
             eval_metrics = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,
-                                            epoch=epoch)
+                                            epoch=epoch, logger=logger,
+                                            record=cfg.train.record_qualitative)
             last_metrics.update(eval_metrics)
             logger.log(step=int(state.step), epoch=epoch, **eval_metrics)
 
@@ -177,7 +178,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                     pf_src = PerFrameEvalSource(video_root, test_ids, d)
                     pf = evaluate_perframe(
                         state, pf_src, d, spec_cfg,
-                        make_gt_lookup(d, per_frame=True))
+                        make_gt_lookup(d, per_frame=True), logger=logger,
+                        record=cfg.train.record_qualitative, epoch=epoch)
                     last_metrics.update(pf)
                     logger.log(step=int(state.step), epoch=epoch, **pf)
 

@@ -1,8 +1,9 @@
 """3D tube trainer (train_3D.py equivalent): FullModel over 16-frame clips.
 
-Epoch loop = {train (hard-way CE over (b·t), NP-ratio logged), hard-way
-test with the 2D-style per-frame protocol, checkpoint} — mirroring the
-working-path semantics of `/root/reference/train_3D.py:83-267`.
+Epoch loop = {train (hard-way CE over (b·t), NP-ratio logged), per-frame
+whole-video test (cIoU/AUC/mTC, all sampled frames forwarded as ONE clip —
+the reference's batched-eval trick, `train_3D.py:152-154`), checkpoint} —
+mirroring the working-path semantics of `/root/reference/train_3D.py:83-267`.
 """
 
 from __future__ import annotations
@@ -27,7 +28,8 @@ from avtubes.train.steps import train3d_fused_step
 from avtubes.utils.logging import MetricLogger
 
 
-def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d") -> dict:
+def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
+        do_eval: bool = True) -> dict:
     d, o = cfg.data, cfg.optim
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     model = FullModel(hardway=cfg.hardway, dtype=dtype, remat=cfg.train.remat)
@@ -96,6 +98,36 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d") -> dict:
             save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
             print(f"[train] preempted during epoch {epoch}; checkpoint saved")
             break
+
+        if do_eval:
+            # per-epoch per-frame whole-video test (`train_3D.py:146-186`)
+            from avtubes.train.evaluate import evaluate_perframe, make_gt_lookup
+            from avtubes.train.hardway import _synthetic_gt_lookup
+
+            pf_src = None
+            if d.synthetic:
+                from avtubes.data.pipeline import SyntheticSource
+
+                pf_src = SyntheticSource(d, n=4, clip=True, seed=1)
+                gt_lookup = _synthetic_gt_lookup()
+            elif d.gt_path:
+                from pathlib import Path
+
+                from avtubes.data.index import load_split
+                from avtubes.data.pipeline import PerFrameEvalSource
+
+                if (Path(d.data_path) / "videos").exists():
+                    test_ids = load_split(d.metadata_dir, d.testset, "test")
+                    pf_src = PerFrameEvalSource(Path(d.data_path), test_ids, d)
+                    gt_lookup = make_gt_lookup(d, per_frame=True)
+            if pf_src is not None:
+                pf = evaluate_perframe(state, pf_src, d, spec_cfg, gt_lookup,
+                                       model_kind="3d", logger=logger,
+                                       record=cfg.train.record_qualitative,
+                                       epoch=epoch)
+                last.update(pf)
+                logger.log(step=int(state.step), epoch=epoch, **pf)
+
         if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
             save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
     logger.close()

@@ -62,3 +62,25 @@ def test_run_resume(tmp_path):
     metrics = run(cfg2, steps_cap=1, tag="smoke", do_eval=False)
     assert np.isfinite(metrics["loss"])
     assert latest_checkpoint(tmp_path, "smoke").name == "smoke_ep1"
+
+
+def test_run_3d_with_perframe_eval(tmp_path):
+    """The 3D trainer's per-epoch eval block (train_3D.py:146-186 parity):
+    test_ciou/test_auc/test_mtc must be produced each epoch, and
+    record_qualitative must dump overlay JPEGs."""
+    from avtubes.train.train3d import run
+
+    cfg = ExperimentConfig(
+        data=DataConfig(synthetic=True, image_size=64, frame_density=4,
+                        sampling_rate=1, samplerate=2000, audio_seconds=1,
+                        n_threads=2),
+        optim=OptimConfig(batch_size=2, epochs=1, learning_rate=1e-4),
+        train=TrainConfig(summaries_dir=str(tmp_path), compute_dtype="float32",
+                          log_every=1, record_qualitative=1),
+    )
+    metrics = run(cfg, steps_cap=1, tag="tube3d")
+    for key in ("loss", "np_ratio", "test_ciou", "test_auc", "test_mtc"):
+        assert key in metrics and np.isfinite(metrics[key]), key
+    overlays = list((tmp_path / "images").glob("*_test_frame_*.jpg"))
+    assert overlays, "record_qualitative should dump per-frame overlays"
+    assert latest_checkpoint(tmp_path, "tube3d") is not None
