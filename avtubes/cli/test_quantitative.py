@@ -21,8 +21,7 @@ from avtubes.core.config import ExperimentConfig
 from avtubes.data.index import load_split
 from avtubes.data.pipeline import BatchLoader, HardwayTestSource, SyntheticSource
 from avtubes.data.spectrogram import SpectrogramConfig
-from avtubes.evaluation import load_vggss_index
-from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup
+from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup_auto
 from avtubes.train.hardway import _synthetic_gt_lookup, build_model
 from avtubes.train.state import create_train_state
 
@@ -70,10 +69,7 @@ def main(argv=None):
     else:
         ids = load_split(d.metadata_dir, d.testset, "test_hardway")
         src = HardwayTestSource(d.og_data_path or d.data_path, ids, d)
-        vggss_index = None
-        if d.testset == "vggss":
-            vggss_index = load_vggss_index(f"{d.metadata_dir}/vggss.json")
-        gt_lookup = make_gt_lookup(d, vggss_index=vggss_index)
+        gt_lookup = make_gt_lookup_auto(d)
 
     loader = BatchLoader(src, batch_size=8, num_workers=d.n_threads,
                          shuffle=False, drop_last=False)

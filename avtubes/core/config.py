@@ -99,6 +99,8 @@ class ExperimentConfig:
         p.add_argument("--epoch_threshold", default=10, type=int)
         # new (TPU build) flags
         p.add_argument("--subset", default=10, type=int)
+        p.add_argument("--samplerate", default=22050, type=int)
+        p.add_argument("--audio_seconds", default=10, type=int)
         p.add_argument("--seed", default=0, type=int)
         p.add_argument("--compute_dtype", default="bfloat16", type=str)
         p.add_argument("--negative_pool", default="global", type=str)
@@ -115,6 +117,7 @@ class ExperimentConfig:
                 gt_path=a.gt_path, og_gt_path=a.og_gt_path, metadata_dir=a.metadata_dir,
                 image_size=a.image_size, frame_density=a.frame_density,
                 sampling_rate=a.sampling_rate, subset=a.subset, n_threads=a.n_threads,
+                samplerate=a.samplerate, audio_seconds=a.audio_seconds,
                 synthetic=a.synthetic,
             ),
             optim=OptimConfig(

@@ -73,3 +73,52 @@ def write_synthetic_dataset(root: str | Path, n_videos: int = 4, frames: int = 1
     (root / "metadata" / "flickr_test_hardway.csv").write_text(
         "\n".join(f"{v},{frames}" for v in ids) + "\n")
     return ids
+
+
+def write_synthetic_vggss(root: str | Path, n_clips: int = 4, frames: int = 16,
+                          samplerate: int = 22050, seconds: int = 2,
+                          image_hw: tuple[int, int] = (256, 320),
+                          seed: int = 0) -> list[str]:
+    """VGGSS-layout fixture: frames/audio tree + vggss.json + CSVs.
+
+    Mirrors the on-disk surface the reference's VGGSS path consumes
+    (`test.py:77-83` preloads vggss.json; `GetAudioVideoDataset` reads
+    `frames/<id>.jpg` + `audio/<id>.wav` off vggss_test.csv):
+
+      root/frames/<id>.jpg          root/videos/<id>/{0..T-1}.jpg
+      root/audio/<id>.wav
+      root/metadata/{vggss_test.csv, vggss_train.csv, vggss.json}
+
+    GT boxes are normalized coords (the vggss.json convention), one centered
+    box per clip.  Returns the clip ids.
+    """
+    import json
+
+    from PIL import Image
+
+    root = Path(root)
+    rng = np.random.RandomState(seed)
+    ids = [f"synthvggss_{i:06d}" for i in range(n_clips)]
+    (root / "metadata").mkdir(parents=True, exist_ok=True)
+    (root / "frames").mkdir(exist_ok=True)
+    (root / "audio").mkdir(exist_ok=True)
+    h, w = image_hw
+    entries = []
+    for vid in ids:
+        base = rng.randint(0, 200, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(base).save(root / "frames" / f"{vid}.jpg", quality=90)
+        vdir = root / "videos" / vid
+        vdir.mkdir(parents=True, exist_ok=True)
+        for i in range(frames):
+            img = np.clip(base.astype(np.int32) + rng.randint(-20, 20), 0, 255)
+            Image.fromarray(img.astype(np.uint8)).save(vdir / f"{i}.jpg", quality=90)
+        t = np.arange(samplerate * seconds) / samplerate
+        wav = 0.4 * np.sin(2 * np.pi * rng.uniform(100, 1000) * t)
+        write_wav(root / "audio" / f"{vid}.wav", np.clip(wav, -1, 1), samplerate)
+        entries.append({"file": vid, "class": "synthetic",
+                        "bbox": [[0.25, 0.25, 0.75, 0.75]]})
+    (root / "metadata" / "vggss_test.csv").write_text("\n".join(ids) + "\n")
+    (root / "metadata" / "vggss_train.csv").write_text(
+        "\n".join(f"{v},0" for v in ids) + "\n")
+    (root / "metadata" / "vggss.json").write_text(json.dumps(entries))
+    return ids

@@ -48,6 +48,18 @@ def make_gt_lookup(data_cfg: DataConfig, per_frame: bool = False,
     return lookup
 
 
+def make_gt_lookup_auto(data_cfg: DataConfig, per_frame: bool = False):
+    """make_gt_lookup with the vggss.json index auto-loaded for
+    testset='vggss' (the reference preloads it into args.gt_all,
+    `test.py:77-83`)."""
+    vggss_index = None
+    if data_cfg.testset == "vggss":
+        from avtubes.evaluation import load_vggss_index
+
+        vggss_index = load_vggss_index(Path(data_cfg.metadata_dir) / "vggss.json")
+    return make_gt_lookup(data_cfg, per_frame=per_frame, vggss_index=vggss_index)
+
+
 @functools.partial(jax.jit, static_argnames=("spec_cfg",))
 def _hardway_eval_masks(state, frames_uint8, waveforms, spec_cfg):
     """Raw frames+waveforms -> binary masks in ONE program (normalize,

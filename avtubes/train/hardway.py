@@ -32,7 +32,7 @@ from avtubes.data.pipeline import (
 )
 from avtubes.data.spectrogram import SpectrogramConfig
 from avtubes.models import AVENet
-from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup
+from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup_auto
 from avtubes.train.state import create_train_state
 from avtubes.train.steps import hardway_fused_train_step, hardway_multi_step
 from avtubes.utils.logging import MetricLogger
@@ -157,7 +157,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             if d.synthetic:
                 gt_lookup = _synthetic_gt_lookup()
             else:
-                gt_lookup = make_gt_lookup(d)
+                gt_lookup = make_gt_lookup_auto(d)
             eval_metrics = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,
                                             epoch=epoch, logger=logger,
                                             record=cfg.train.record_qualitative)
@@ -178,7 +178,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                     pf_src = PerFrameEvalSource(video_root, test_ids, d)
                     pf = evaluate_perframe(
                         state, pf_src, d, spec_cfg,
-                        make_gt_lookup(d, per_frame=True), logger=logger,
+                        make_gt_lookup_auto(d, per_frame=True), logger=logger,
                         record=cfg.train.record_qualitative, epoch=epoch)
                     last_metrics.update(pf)
                     logger.log(step=int(state.step), epoch=epoch, **pf)

@@ -101,7 +101,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
 
         if do_eval:
             # per-epoch per-frame whole-video test (`train_3D.py:146-186`)
-            from avtubes.train.evaluate import evaluate_perframe, make_gt_lookup
+            from avtubes.train.evaluate import evaluate_perframe, make_gt_lookup_auto
             from avtubes.train.hardway import _synthetic_gt_lookup
 
             pf_src = None
@@ -119,7 +119,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
                 if (Path(d.data_path) / "videos").exists():
                     test_ids = load_split(d.metadata_dir, d.testset, "test")
                     pf_src = PerFrameEvalSource(Path(d.data_path), test_ids, d)
-                    gt_lookup = make_gt_lookup(d, per_frame=True)
+                    gt_lookup = make_gt_lookup_auto(d, per_frame=True)
             if pf_src is not None:
                 pf = evaluate_perframe(state, pf_src, d, spec_cfg, gt_lookup,
                                        model_kind="3d", logger=logger,
