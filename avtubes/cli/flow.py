@@ -2,6 +2,10 @@
 
 Smoke:  python -m avtubes.cli.flow --synthetic --steps 2 --epochs 1 \
             --batch_size 2 --frame_density 2
+
+--train_flow runs the unsupervised FlowNetLite pretraining loop instead
+(photometric + smoothness on frame pairs) and writes `flownet_ep*`
+checkpoints that the consistency trainer auto-loads.
 """
 
 import sys
@@ -20,9 +24,17 @@ def main(argv=None):
         i = argv.index("--flow_loss_weight")
         weight = float(argv[i + 1])
         del argv[i : i + 2]
+    train_flow = "--train_flow" in argv
+    if train_flow:
+        argv.remove("--train_flow")
     cfg = ExperimentConfig.from_args(argv)
-    metrics = run(cfg, steps_cap=cfg.train.steps_cap,
-                  flow_loss_weight=weight)
+    if train_flow:
+        from avtubes.train.flow_pretrain import run_pretrain
+
+        metrics = run_pretrain(cfg, steps_cap=cfg.train.steps_cap)
+    else:
+        metrics = run(cfg, steps_cap=cfg.train.steps_cap,
+                      flow_loss_weight=weight)
     print("final:", metrics)
 
 

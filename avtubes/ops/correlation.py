@@ -97,6 +97,28 @@ def correlation_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
     )(f1, f2p)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _correlation_pallas_ad(f1, f2, max_disp: int, stride: int):
+    """Pallas correlation with reverse-mode autodiff: the fused kernel runs
+    forward; the backward pass reuses the XLA implementation's VJP (Pallas
+    kernels are not differentiable by tracing).  The flow pretraining loop
+    differentiates through the cost volume, so this matters on TPU."""
+    return correlation_pallas(f1, f2, max_disp, stride)
+
+
+def _correlation_fwd(f1, f2, max_disp, stride):
+    return correlation_pallas(f1, f2, max_disp, stride), (f1, f2)
+
+
+def _correlation_bwd(max_disp, stride, res, g):
+    f1, f2 = res
+    _, vjp = jax.vjp(lambda a, b: correlation_xla(a, b, max_disp, stride), f1, f2)
+    return vjp(g)
+
+
+_correlation_pallas_ad.defvjp(_correlation_fwd, _correlation_bwd)
+
+
 def _pallas_fits(h: int, w: int, c: int, d: int, max_disp: int, itemsize: int) -> bool:
     per_image = (
         h * w * c + (h + 2 * max_disp) * (w + 2 * max_disp) * c + h * w * d
@@ -120,5 +142,5 @@ def correlation_cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
         impl = ("pallas" if on_tpu and _pallas_fits(h, w, c, d, max_disp,
                                                     f1.dtype.itemsize) else "xla")
     if impl == "pallas":
-        return correlation_pallas(f1, f2, max_disp, stride)
+        return _correlation_pallas_ad(f1, f2, max_disp, stride)
     return correlation_xla(f1, f2, max_disp, stride)

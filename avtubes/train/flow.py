@@ -21,7 +21,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from avtubes.core.checkpoint import PreemptionGuard, save_checkpoint
+from avtubes.core.checkpoint import (
+    PreemptionGuard,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.pipeline import BatchLoader, device_prefetch
@@ -111,6 +116,19 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
         jax.random.PRNGKey(cfg.train.seed + 7),
         jnp.zeros((1, d.image_size, d.image_size, 3)),
         jnp.zeros((1, d.image_size, d.image_size, 3)))
+    # pretrained flow weights (the reference loads FlowNet2's checkpoint,
+    # flow.py:100-107; ours come from avtubes.train.flow_pretrain)
+    flow_ckpt = latest_checkpoint(cfg.train.summaries_dir, "flownet")
+    if flow_ckpt:
+        from avtubes.train.flow_pretrain import create_flow_state
+
+        fstate, _ = restore_checkpoint(
+            flow_ckpt, create_flow_state(jax.random.PRNGKey(0), d.image_size))
+        flow_variables = {"params": fstate.params}
+        print(f"[flow] loaded pretrained flow net {flow_ckpt}")
+    elif flow_loss_weight > 0:
+        print("[flow] WARNING: flow_loss_weight > 0 with a random-init flow "
+              "net; pretrain first (python -m avtubes.cli.flow --train_flow)")
 
     mesh = make_data_mesh(o.batch_size)
     state = replicate(mesh, state)

@@ -1,0 +1,215 @@
+"""Unsupervised optical-flow pretraining for FlowNetLite.
+
+The reference's flow path loads pretrained FlowNet2 weights
+(`/root/reference/flow.py:100-107`) so its flows are meaningful.  We have no
+external checkpoint, so FlowNetLite is trained unsupervised on frame pairs
+with the classic photometric + smoothness objective:
+
+    flow = net(im1, im2)                     # convention: warp(im1, flow) ~ im2
+    photo  = charbonnier(flow_warp(im1, flow) - im2)
+    smooth = |dx flow| + |dy flow|           # first-order
+    loss   = photo + smooth_weight * smooth
+
+The convention matters: `flow_warp(x, f)[p] = x[p + f(p)]` (backward warp),
+so the net learns the field that pulls im1 forward onto im2 — exactly what
+`train/flow.py` needs to warp heatmap[t] onto heatmap[t+1].
+
+Pairs come from consecutive frames of training clips (real data) or from a
+translating-pattern generator (synthetic smoke/tests, where the true shift
+is known and recoverable).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avtubes.core.checkpoint import (
+    PreemptionGuard,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from avtubes.core.config import ExperimentConfig
+from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
+from avtubes.data.pipeline import BatchLoader
+from avtubes.models.flownet import FlowNetLite
+from avtubes.ops.warp import flow_warp
+from avtubes.train.state import AVTrainState, make_optimizer
+from avtubes.utils.logging import MetricLogger
+
+FLOW_TAG = "flownet"
+
+
+def charbonnier(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    return jnp.sqrt(x * x + eps * eps)
+
+
+def smoothness_loss(flow: jnp.ndarray) -> jnp.ndarray:
+    """First-order flow smoothness: mean |spatial gradient| (B,H,W,2)."""
+    dy = jnp.abs(flow[:, 1:] - flow[:, :-1]).mean()
+    dx = jnp.abs(flow[:, :, 1:] - flow[:, :, :-1]).mean()
+    return dx + dy
+
+
+def multiscale_photometric(im1: jnp.ndarray, im2: jnp.ndarray, flow: jnp.ndarray,
+                           scales: tuple[int, ...] = (1, 2, 4, 8)) -> jnp.ndarray:
+    """Photometric charbonnier at a pyramid of scales.
+
+    The bilinear warp's gradient w.r.t. flow only sees a +-1 px neighborhood,
+    so a full-resolution-only loss cannot pull the flow toward displacements
+    larger than ~1 px (it plateaus — measured).  Evaluating the same loss at
+    downsampled scales widens the basin: an 8 px shift is 1 px at 1/8 scale.
+    """
+    b, h, w, c = im1.shape
+    total = charbonnier(flow_warp(im1, flow) - im2).mean()
+    for s in scales[1:]:
+        im1s = jax.image.resize(im1, (b, h // s, w // s, c), "linear")
+        im2s = jax.image.resize(im2, (b, h // s, w // s, c), "linear")
+        flows = jax.image.resize(flow, (b, h // s, w // s, 2), "linear") / s
+        total = total + charbonnier(flow_warp(im1s, flows) - im2s).mean()
+    return total / len(scales)
+
+
+@functools.partial(jax.jit, static_argnames=("smooth_weight",), donate_argnums=(0,))
+def flow_pretrain_step(state: AVTrainState, im1: jnp.ndarray, im2: jnp.ndarray,
+                       smooth_weight: float = 0.05):
+    """One unsupervised step on a batch of frame pairs in [0,1], (B,H,W,3)."""
+
+    def loss_fn(params):
+        flow = state.apply_fn({"params": params}, im1, im2)
+        photo = multiscale_photometric(im1, im2, flow)
+        smooth = smoothness_loss(flow)
+        loss = photo + smooth_weight * smooth
+        return loss, {"loss": loss, "photometric": photo, "smoothness": smooth}
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    return state, metrics
+
+
+def create_flow_state(rng: jax.Array, image_size: int, learning_rate: float = 1e-4,
+                      steps_per_epoch: int = 1) -> AVTrainState:
+    model = FlowNetLite()
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((1, image_size, image_size, 3)),
+        jnp.zeros((1, image_size, image_size, 3)))
+    import dataclasses
+
+    from avtubes.core.config import OptimConfig
+
+    tx = make_optimizer(
+        dataclasses.replace(OptimConfig(), learning_rate=learning_rate,
+                            weight_decay=0.0),
+        steps_per_epoch)
+    return AVTrainState.create(apply_fn=model.apply, params=variables["params"],
+                               tx=tx, batch_stats={})
+
+
+def smooth_pattern(rng: np.random.RandomState, size: int, cells: int = 8) -> np.ndarray:
+    """Band-limited random RGB pattern in [0,1] — enough spatial gradient for
+    the photometric loss to localize shifts, no aliasing under translation."""
+    small = rng.rand(cells, cells, 3).astype(np.float32)
+    reps = size // cells
+    up = np.kron(small, np.ones((reps, reps, 1), np.float32))
+    # separable box blur to kill the blocky edges
+    k = max(reps // 2, 1)
+    kernel = np.ones(k, np.float32) / k
+    for axis in (0, 1):
+        up = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode="same"), axis, up)
+    return np.clip(up, 0.0, 1.0)
+
+
+def translating_pairs(rng: np.random.RandomState, batch: int, size: int,
+                      max_shift: int = 8) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(im1, im2, shift): im2 is im1 circularly shifted by a per-sample
+    integer (dy, dx) in [-max_shift, max_shift].  Content moves by +shift, so
+    the backward-warp convention implies net(im1, im2) ~ -shift."""
+    im1 = np.stack([smooth_pattern(rng, size) for _ in range(batch)])
+    shifts = rng.randint(-max_shift, max_shift + 1, size=(batch, 2))
+    im2 = np.stack([np.roll(im1[i], (shifts[i][0], shifts[i][1]), axis=(0, 1))
+                    for i in range(batch)])
+    return im1, im2, shifts
+
+
+def run_pretrain(cfg: ExperimentConfig, steps_cap: int = 0,
+                 tag: str = FLOW_TAG, smooth_weight: float = 0.05,
+                 learning_rate: float = 1e-4) -> dict:
+    """Unsupervised FlowNetLite pretraining loop with checkpointing.
+
+    Real data: consecutive-frame pairs from training clips.  Synthetic:
+    translating patterns (known ground-truth shift, logged as an EPE proxy).
+    """
+    d, o = cfg.data, cfg.optim
+    mesh = make_data_mesh(o.batch_size)
+    state = create_flow_state(jax.random.PRNGKey(cfg.train.seed + 11),
+                              d.image_size, learning_rate)
+    state = replicate(mesh, state)
+
+    start_epoch = 0
+    if cfg.train.use_pretrained:
+        ckpt = cfg.train.pretrained_path or latest_checkpoint(
+            cfg.train.summaries_dir, tag)
+        if ckpt:
+            state, start_epoch = restore_checkpoint(ckpt, state)
+            start_epoch += 1
+
+    logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
+    guard = PreemptionGuard()
+    last: dict = {}
+    for epoch in range(start_epoch, o.epochs):
+        if d.synthetic:
+            batches = _synthetic_pair_batches(cfg, epoch, steps_cap or 50)
+        else:
+            batches = _clip_pair_batches(cfg, epoch)
+        step_in_epoch = 0
+        for im1, im2 in batches:
+            if steps_cap and step_in_epoch >= steps_cap:
+                break
+            im1, im2 = shard_batch(mesh, (jnp.asarray(im1), jnp.asarray(im2)))
+            state, metrics = flow_pretrain_step(state, im1, im2, smooth_weight)
+            step_in_epoch += 1
+            if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in metrics.items()})
+            if guard.preempted:
+                break
+        last = {k: float(v) for k, v in metrics.items()}
+        if guard.preempted:
+            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            print(f"[flow] preempted during epoch {epoch}; checkpoint saved")
+            break
+        save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)
+    logger.close()
+    guard.restore()
+    return last
+
+
+def _synthetic_pair_batches(cfg: ExperimentConfig, epoch: int, steps: int):
+    rng = np.random.RandomState(cfg.train.seed * 7919 + epoch)
+    for _ in range(steps):
+        im1, im2, _ = translating_pairs(rng, cfg.optim.batch_size,
+                                        cfg.data.image_size)
+        yield im1, im2
+
+
+def _clip_pair_batches(cfg: ExperimentConfig, epoch: int):
+    """Consecutive-frame pairs from the training clips, in [0,1]."""
+    from avtubes.train.hardway import build_sources
+
+    train_src, _ = build_sources(cfg)
+    loader = BatchLoader(train_src, cfg.optim.batch_size,
+                         num_workers=cfg.data.n_threads, shuffle=True,
+                         seed=cfg.train.seed)
+    for batch in loader.epoch(epoch):
+        clip = batch["clip"].astype(np.float32) / 255.0  # (B,T,H,W,3)
+        if clip.shape[1] < 2:
+            continue
+        b, t = clip.shape[:2]
+        im1 = clip[:, :-1].reshape(b * (t - 1), *clip.shape[2:])
+        im2 = clip[:, 1:].reshape(b * (t - 1), *clip.shape[2:])
+        yield im1, im2

@@ -1,0 +1,87 @@
+"""Unsupervised flow pretraining: known-shift recovery + checkpoint plumbing.
+
+The acceptance bar for the flow-weights story: on a translating-pattern
+fixture with a known shift, FlowNetLite trained with the photometric +
+smoothness objective must recover the shift (direction and most of the
+magnitude); `train/flow.py` must auto-load the pretrained weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avtubes.models.flownet import FlowNetLite
+from avtubes.train.flow_pretrain import (
+    create_flow_state,
+    flow_pretrain_step,
+    translating_pairs,
+)
+
+
+def _mean_flow(params, im1, im2):
+    f = np.asarray(FlowNetLite().apply({"params": params},
+                                       jnp.asarray(im1), jnp.asarray(im2)))
+    return np.array([f[..., 0].mean(), f[..., 1].mean()])
+
+
+def test_translating_pairs_are_shifted():
+    rng = np.random.RandomState(0)
+    im1, im2, shifts = translating_pairs(rng, 2, 32, max_shift=4)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.roll(im1[i], (shifts[i][0], shifts[i][1]), axis=(0, 1)), im2[i])
+
+
+def test_pretraining_recovers_known_shift():
+    state = create_flow_state(jax.random.PRNGKey(0), 64, learning_rate=1e-3)
+    rng = np.random.RandomState(0)
+
+    r2 = np.random.RandomState(99)
+    probe1, _, _ = translating_pairs(r2, 4, 64, max_shift=0)
+    shift = (8, -8)  # content moves +8 rows, -8 cols => backward flow (+8, -8)
+    probe2 = np.stack([np.roll(probe1[i], shift, axis=(0, 1)) for i in range(4)])
+    expected = np.array([-shift[1], -shift[0]], np.float64)  # (dx, dy)
+
+    first_photo = None
+    for step in range(200):
+        im1, im2, _ = translating_pairs(rng, 8, 64, max_shift=8)
+        state, m = flow_pretrain_step(state, jnp.asarray(im1), jnp.asarray(im2))
+        if first_photo is None:
+            first_photo = float(m["photometric"])
+    assert float(m["photometric"]) < 0.8 * first_photo, "photometric must drop"
+
+    flow = _mean_flow(state.params, probe1, probe2)
+    # direction exactly right, magnitude at least half recovered
+    assert np.sign(flow[0]) == np.sign(expected[0])
+    assert np.sign(flow[1]) == np.sign(expected[1])
+    cos = flow @ expected / (np.linalg.norm(flow) * np.linalg.norm(expected))
+    assert cos > 0.95, f"direction off: {flow} vs {expected}"
+    assert np.linalg.norm(flow) > 0.5 * np.linalg.norm(expected), \
+        f"magnitude not recovered: {flow} vs {expected}"
+
+
+def test_pretrain_run_and_flow_trainer_autoload(tmp_path, capsys):
+    """run_pretrain writes a flownet checkpoint; train/flow.run loads it."""
+    from avtubes.core.config import (
+        DataConfig,
+        ExperimentConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from avtubes.train.flow import run as run_flow
+    from avtubes.train.flow_pretrain import run_pretrain
+
+    cfg = ExperimentConfig(
+        data=DataConfig(synthetic=True, image_size=64, frame_density=2,
+                        samplerate=2000, audio_seconds=1, n_threads=2),
+        optim=OptimConfig(batch_size=2, epochs=1, learning_rate=1e-3),
+        train=TrainConfig(summaries_dir=str(tmp_path), compute_dtype="float32",
+                          log_every=1),
+    )
+    metrics = run_pretrain(cfg, steps_cap=2)
+    assert np.isfinite(metrics["loss"])
+    assert (tmp_path / "flownet_ep0").exists()
+
+    run_flow(cfg, steps_cap=1, flow_loss_weight=0.1)
+    out = capsys.readouterr().out
+    assert "loaded pretrained flow net" in out
