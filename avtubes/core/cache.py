@@ -31,6 +31,20 @@ def _version_tag() -> str:
                 pass
     except Exception:
         pass
+    # XLA:CPU AOT executables also bake in host machine features; a cache
+    # shared across heterogeneous hosts (same package versions, different
+    # CPUs) loads with "machine type doesn't match" / SIGILL risk.  Scope
+    # the cache per CPU feature set.
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append("cpu-" + hashlib.sha1(line.encode()).hexdigest()[:10])
+                    break
+    except Exception:
+        pass
     return "_".join(parts)
 
 
@@ -48,10 +62,17 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
 
 def disable_compilation_cache() -> None:
-    """Turn the persistent cache off (hermetic runs, e.g. multichip dryrun)."""
+    """Turn the persistent cache off (hermetic runs, e.g. multichip dryrun).
+
+    Clearing the dir alone is NOT enough once the cache has been
+    initialized by an earlier enable in the same process — jax holds on to
+    the cache object — so the enable flag is switched off as well.
+    """
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", None)
-    except Exception:
-        pass
+    for key, val in (("jax_enable_compilation_cache", False),
+                     ("jax_compilation_cache_dir", None)):
+        try:
+            jax.config.update(key, val)
+        except Exception:
+            pass

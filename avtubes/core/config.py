@@ -28,6 +28,9 @@ class DataConfig:
     samplerate: int = 22050
     audio_seconds: int = 10
     n_threads: int = 5                 # host decode workers
+    audio_int16: bool = True           # ship waveforms to device as int16 PCM
+                                       # (lossless for 16-bit sources; halves
+                                       # H2D; device rescales in spectrogram)
     prefetch: int = 2                  # device prefetch depth
     synthetic: bool = False            # generated data (tests / smoke)
 

@@ -45,8 +45,14 @@ def load_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
     downmix/tile/clip into the fixed buffer); falls back to the numpy path.
     Files whose samplerate differs from the dataset's nominal rate are
     zero-padded/truncated to the nominal length so batches stay rectangular.
+
+    With cfg.audio_int16 (default) the result is quantized to int16 with
+    scale 32768 — the exact inverse of the WAV reader's PCM16 normalization,
+    so for 16-bit sources the device sees bit-identical samples at half the
+    H2D bytes.  `spectrogram.as_float_waveform` undoes it on device.
     """
     target = cfg.samplerate * cfg.audio_seconds
+    wav = None
     try:
         from avtubes import native
 
@@ -54,14 +60,18 @@ def load_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
             out = native.decode_wav_prepared(path, cfg.audio_seconds, target)
             if out is None:
                 raise SkippedSampleError(f"{path}: native WAV decode failed")
-            return out[0]
+            wav = out[0]
     except ImportError:
         pass
-    samples, sr = read_wav(path)
-    wav = prepare_waveform(samples, sr, cfg.audio_seconds).astype(np.float32)
-    if wav.shape[0] < target:
-        wav = np.pad(wav, (0, target - wav.shape[0]))
-    return wav[:target]
+    if wav is None:
+        samples, sr = read_wav(path)
+        wav = prepare_waveform(samples, sr, cfg.audio_seconds).astype(np.float32)
+        if wav.shape[0] < target:
+            wav = np.pad(wav, (0, target - wav.shape[0]))
+        wav = wav[:target]
+    if getattr(cfg, "audio_int16", True):
+        return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
+    return wav
 
 
 class ClipTrainSource:
@@ -165,6 +175,8 @@ class SyntheticSource:
         s = self.cfg.image_size
         wav = np.clip(r.randn(self.cfg.samplerate * self.cfg.audio_seconds) * 0.1,
                       -1, 1).astype(np.float32)
+        if getattr(self.cfg, "audio_int16", True):
+            wav = np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
         if self.clip:
             t = max(self.cfg.frame_density, 1)
             img = r.randint(0, 256, (t, s, s, 3), dtype=np.uint8)
@@ -269,14 +281,36 @@ class BatchLoader:
 
 def device_prefetch(iterator: Iterator[dict[str, Any]], depth: int = 2,
                     put: Callable[[Any], Any] | None = None) -> Iterator[dict[str, Any]]:
-    """Keep `depth` batches device-resident ahead of the consumer."""
+    """Keep `depth` batches device-resident ahead of the consumer.
+
+    Transfers run on a dedicated thread: `device_put` can block for the
+    whole copy on thin links (remote-tunnel hosts), and even where it is
+    async, staging from a separate thread overlaps host decode, H2D, and
+    device compute instead of serializing them on the consumer thread.
+    """
     import jax
 
     put = put or jax.device_put
-    buf: list[dict[str, Any]] = []
-    for batch in iterator:
-        arrays = {k: (put(v) if isinstance(v, np.ndarray) else v) for k, v in batch.items()}
-        buf.append(arrays)
-        if len(buf) > depth:
-            yield buf.pop(0)
-    yield from buf
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = object()
+
+    def stage():
+        try:
+            for batch in iterator:
+                q.put({k: (put(v) if isinstance(v, np.ndarray) else v)
+                       for k, v in batch.items()})
+        except BaseException as e:  # surface on the consumer thread
+            q.put(e)
+            return
+        q.put(stop)
+
+    th = threading.Thread(target=stage, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    th.join(timeout=5)

@@ -101,6 +101,17 @@ def _onesided_scale(cfg: SpectrogramConfig) -> np.ndarray:
     return s
 
 
+def as_float_waveform(x: jnp.ndarray) -> jnp.ndarray:
+    """Accept int16 PCM transport: int inputs are scaled by 1/32768 — the
+    exact inverse of the host quantization in `data.pipeline` (and of the
+    WAV reader's PCM16 normalization, so the round trip is lossless for
+    16-bit sources).  Shipping waveforms as int16 halves H2D traffic, which
+    dominates the end-to-end pipeline when the device link is thin."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    return x.astype(jnp.float32)
+
+
 def frame_signal(x: jnp.ndarray, cfg: SpectrogramConfig) -> jnp.ndarray:
     """(..., num_samples) -> (..., num_frames, nperseg) via the reshape trick.
 
@@ -122,7 +133,7 @@ def log_spectrogram(x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()
 
     Output matches log(scipy spectrogram + 1e-7) / 12 in float32.
     """
-    x = x.astype(jnp.float32)
+    x = as_float_waveform(x)
     frames = frame_signal(x, cfg)                       # (..., T, nperseg)
     frames = frames - frames.mean(axis=-1, keepdims=True)  # constant detrend
     cosm, sinm = _dft_matrices(cfg)
@@ -175,7 +186,7 @@ def log_mel_spectrogram(x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConf
     Linear power spectrogram (same STFT path as `log_spectrogram`, PSD
     scaling included) -> mel filterbank matmul (MXU) -> log/std normalize.
     """
-    x = x.astype(jnp.float32)
+    x = as_float_waveform(x)
     frames = frame_signal(x, cfg)
     frames = frames - frames.mean(axis=-1, keepdims=True)
     cosm, sinm = _dft_matrices(cfg)

@@ -83,11 +83,26 @@ def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 22
     from PIL import Image
 
     target = int(image_size * resize_factor)
+    native_mod = None
+    try:
+        from avtubes import native
+
+        if native.available():
+            native_mod = native
+    except ImportError:
+        pass
     frames = []
     crop = None
     for p in paths:
-        img = host_resize_shortest(open_rgb(p), target)
-        arr = np.asarray(img)
+        arr = None
+        if native_mod is not None and str(p).lower().endswith((".jpg", ".jpeg")):
+            # fused decode + shortest-side bicubic resize in C++ (no crop:
+            # the random crop below must be consistent across the clip).
+            # scaled=True: DCT-domain scaling, 2.6x faster; the ~2-level
+            # pixel drift is far below the crop/jitter augmentation noise
+            arr = native_mod.decode_jpeg_shortest(p, target, scaled=True)
+        if arr is None:
+            arr = np.asarray(host_resize_shortest(open_rgb(p), target))
         if crop is None:
             crop = host_random_crop_params(rng, arr.shape[0], arr.shape[1], image_size)
         top, left = crop
@@ -96,9 +111,27 @@ def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 22
 
 
 def host_load_eval_frame(path, image_size: int = 224) -> np.ndarray:
-    """Decode -> shortest-side resize to size -> center crop.  uint8 (H, W, 3)."""
+    """Decode -> shortest-side resize to size -> center crop.  uint8 (H, W, 3).
+
+    Hot path: the native fused decode+bicubic-resize+crop (one C++ call, no
+    GIL — PIL's resize alone costs more than the JPEG decode) with a PIL
+    fallback that computes the identical transform.
+    """
     from PIL import Image
 
+    if str(path).lower().endswith((".jpg", ".jpeg")):
+        try:
+            from avtubes import native
+
+            if native.available():
+                # scaled=False: full-res decode, bit-comparable (<=1 level)
+                # to the PIL path — eval inputs stay parity-grade
+                out = native.decode_jpeg_shortest(path, image_size,
+                                                  crop=image_size, scaled=False)
+                if out is not None:
+                    return out
+        except ImportError:
+            pass
     img = host_resize_shortest(open_rgb(path), image_size)
     return host_center_crop(np.asarray(img), image_size)
 

@@ -38,8 +38,12 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists() and not _build():
-            return None
+        stale = (_LIB_PATH.exists()
+                 and _LIB_PATH.stat().st_mtime
+                 < (_DIR / "avtubes_io.cc").stat().st_mtime)
+        if (not _LIB_PATH.exists() or stale) and not _build():
+            if not _LIB_PATH.exists():
+                return None
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.avt_decode_wav.restype = ctypes.c_int
         lib.avt_decode_wav.argtypes = [
@@ -58,6 +62,17 @@ def get_lib():
         lib.avt_decode_jpeg.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int]
+        lib.avt_decode_jpeg_shortest.restype = ctypes.c_int
+        lib.avt_decode_jpeg_shortest.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.avt_decode_jpeg_shortest_batch.restype = None
+        lib.avt_decode_jpeg_shortest_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int]
         lib.avt_decode_jpeg_batch.restype = None
         lib.avt_decode_jpeg_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -128,6 +143,61 @@ def decode_jpeg(path: str | Path) -> np.ndarray | None:
                                h, w):
         return None
     return out
+
+
+def decode_jpeg_shortest(path: str | Path, short_side: int,
+                         crop: int = 0, scaled: bool = True) -> np.ndarray | None:
+    """Fused decode + PIL-compatible shortest-side bicubic resize
+    (+ center crop to (crop, crop) when crop > 0).  None on failure.
+
+    This replaces decode-then-PIL-resize in the hot eval/train load path:
+    the resize runs in C++ on the decode thread (no GIL, no PIL churn).
+    scaled=True additionally lets libjpeg's DCT-domain M/8 scaling do most
+    of the downscale (2.6x faster end to end; pixel values drift ~2 levels
+    vs PIL bicubic — the PIL Image.draft tradeoff); scaled=False is
+    bit-comparable to the PIL path.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if crop > 0:
+        out = np.empty((crop, crop, 3), np.uint8)
+    else:
+        size = jpeg_size(path)
+        if size is None:
+            return None
+        h, w = size
+        if w < h:
+            rh, rw = max(1, round(h * short_side / w)), short_side
+        else:
+            rh, rw = short_side, max(1, round(w * short_side / h))
+        out = np.empty((rh, rw, 3), np.uint8)
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    if not lib.avt_decode_jpeg_shortest(
+            str(path).encode(), short_side, crop,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(oh), ctypes.byref(ow), int(scaled)):
+        return None
+    return out
+
+
+def decode_jpeg_shortest_batch(paths: list[str | Path], short_side: int,
+                               crop: int, threads: int = 8, scaled: bool = True
+                               ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Threaded fused decode+resize+center-crop -> ((n,crop,crop,3), ok)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, crop, crop, 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.avt_decode_jpeg_shortest_batch(
+        arr, n, short_side, crop,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads, int(scaled))
+    return out, ok
 
 
 def decode_jpeg_batch(paths: list[str | Path], h: int, w: int,

@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -151,6 +152,155 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
+// ---------------------------------------------------------------- resize
+// PIL-compatible separable bicubic resampling (Pillow Resample.c algorithm:
+// Keys kernel a=-0.5, filter support scaled by the downscale factor for
+// antialiasing, per-output-pixel normalized weights).  Replaces the PIL
+// resize in the hot decode path — PIL's resize costs more than the JPEG
+// decode itself and holds the GIL; this runs on the decode thread pool.
+
+double cubic_kernel(double x) {
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct ResampleCoeffs {
+  std::vector<int> bounds;      // per output pixel: (first tap, tap count)
+  std::vector<float> weights;   // (out, kmax) normalized taps
+  int kmax = 0;
+};
+
+ResampleCoeffs precompute_coeffs(int in_size, int out_size) {
+  ResampleCoeffs rc;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 2.0 * filterscale;
+  rc.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
+  rc.bounds.resize(static_cast<size_t>(out_size) * 2);
+  rc.weights.assign(static_cast<size_t>(out_size) * rc.kmax, 0.0f);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    float* w = &rc.weights[static_cast<size_t>(xx) * rc.kmax];
+    double sum = 0.0;
+    for (int j = xmin; j < xmax; ++j)
+      sum += cubic_kernel((j - center + 0.5) / filterscale);
+    for (int j = xmin; j < xmax; ++j)
+      w[j - xmin] = static_cast<float>(
+          sum != 0.0 ? cubic_kernel((j - center + 0.5) / filterscale) / sum : 0.0);
+    rc.bounds[xx * 2] = xmin;
+    rc.bounds[xx * 2 + 1] = xmax - xmin;
+  }
+  return rc;
+}
+
+void resize_cubic_hwc(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
+                      int out_h, int out_w) {
+  if (in_h == out_h && in_w == out_w) {  // DCT-scaled decode hit exactly
+    memcpy(dst, src, static_cast<size_t>(in_h) * in_w * 3);
+    return;
+  }
+  const ResampleCoeffs rx = precompute_coeffs(in_w, out_w);
+  const ResampleCoeffs ry = precompute_coeffs(in_h, out_h);
+  // horizontal pass: (in_h, in_w, 3) u8 -> (in_h, out_w, 3) f32.
+  // One u8->f32 row conversion up front so the tap loop is pure float FMAs.
+  std::vector<float> srowf(static_cast<size_t>(in_w) * 3);
+  std::vector<float> tmp(static_cast<size_t>(in_h) * out_w * 3);
+  for (int y = 0; y < in_h; ++y) {
+    const uint8_t* srow = src + static_cast<size_t>(y) * in_w * 3;
+    for (int x = 0; x < in_w * 3; ++x) srowf[x] = srow[x];
+    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const int xmin = rx.bounds[x * 2], cnt = rx.bounds[x * 2 + 1];
+      const float* w = &rx.weights[static_cast<size_t>(x) * rx.kmax];
+      float a0 = 0, a1 = 0, a2 = 0;
+      const float* p = srowf.data() + static_cast<size_t>(xmin) * 3;
+      for (int k = 0; k < cnt; ++k, p += 3) {
+        a0 += w[k] * p[0];
+        a1 += w[k] * p[1];
+        a2 += w[k] * p[2];
+      }
+      trow[x * 3] = a0;
+      trow[x * 3 + 1] = a1;
+      trow[x * 3 + 2] = a2;
+    }
+  }
+  // vertical pass: accumulate whole rows (vectorizable inner loop)
+  const int row_elems = out_w * 3;
+  std::vector<float> acc(row_elems);
+  for (int y = 0; y < out_h; ++y) {
+    const int ymin = ry.bounds[y * 2], cnt = ry.bounds[y * 2 + 1];
+    const float* w = &ry.weights[static_cast<size_t>(y) * ry.kmax];
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int k = 0; k < cnt; ++k) {
+      const float wk = w[k];
+      const float* trow = tmp.data() + static_cast<size_t>(ymin + k) * row_elems;
+      for (int x = 0; x < row_elems; ++x) acc[x] += wk * trow[x];
+    }
+    uint8_t* drow = dst + static_cast<size_t>(y) * row_elems;
+    for (int x = 0; x < row_elems; ++x) {
+      const int v = static_cast<int>(acc[x] + 0.5f);
+      drow[x] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+}
+
+// min_short_side > 0 turns on libjpeg DCT-domain scaling (scale_num/8, the
+// PIL Image.draft trick): the smallest M/8 whose short side still covers the
+// target, so the IDCT itself does most of the downscale and the cubic pass
+// only cleans up the remainder.  0 = full-resolution decode.
+bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
+                    int min_short_side = 0, int* orig_h = nullptr,
+                    int* orig_w = nullptr) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  if (orig_h) *orig_h = cinfo.image_height;
+  if (orig_w) *orig_w = cinfo.image_width;
+  if (min_short_side > 0) {
+    const int short_in = std::min<int>(cinfo.image_height, cinfo.image_width);
+    int m = 8;  // libjpeg output dims are ceil(dim * M / 8)
+    while (m > 1 && (short_in * (m - 1) + 7) / 8 >= min_short_side) --m;
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_components != 3) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  buf->resize(static_cast<size_t>(*h) * *w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = buf->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -242,6 +392,80 @@ int avt_decode_jpeg(const char* path, uint8_t* out, int out_h, int out_w) {
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
   return 1;
+}
+
+// Fused decode + shortest-side bicubic resize (+ optional center crop).
+// short_side: target for the image's shorter edge (PIL-compatible cubic).
+// crop > 0: center-crop the resized image to (crop, crop) — out must hold
+// crop*crop*3 and *out_h/*out_w return crop.  crop == 0: out must hold the
+// full resized image (caller sizes it from avt_jpeg_size + the same dim
+// math).  Returns 1 on success.
+// scaled != 0 enables DCT-domain scaled decode (fast path; the cubic pass
+// cleans up from the nearest M/8 scale).  scaled == 0 decodes at full
+// resolution first — bit-comparable to the PIL fallback.
+int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
+                             uint8_t* out, int* out_h, int* out_w,
+                             int scaled) {
+  std::vector<uint8_t> full;
+  int h = 0, w = 0, oh = 0, ow = 0;
+  if (!decode_jpeg_to(path, &full, &h, &w, scaled ? short_side : 0, &oh, &ow))
+    return 0;
+  // target dims from the ORIGINAL geometry (the Python wrapper sizes the
+  // crop==0 output buffer from jpeg_size, which reports original dims)
+  int rh, rw;
+  if (ow < oh) {
+    rw = short_side;
+    rh = std::max(1, static_cast<int>(std::lround(
+        static_cast<double>(oh) * short_side / ow)));
+  } else {
+    rh = short_side;
+    rw = std::max(1, static_cast<int>(std::lround(
+        static_cast<double>(ow) * short_side / oh)));
+  }
+  if (crop <= 0) {
+    resize_cubic_hwc(full.data(), h, w, out, rh, rw);
+    *out_h = rh;
+    *out_w = rw;
+    return 1;
+  }
+  std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
+  resize_cubic_hwc(full.data(), h, w, resized.data(), rh, rw);
+  const int top = std::max(0, (rh - crop) / 2);
+  const int left = std::max(0, (rw - crop) / 2);
+  const int ch = std::min(crop, rh), cw = std::min(crop, rw);
+  for (int y = 0; y < ch; ++y)
+    memcpy(out + static_cast<size_t>(y) * crop * 3,
+           resized.data() + (static_cast<size_t>(top + y) * rw + left) * 3,
+           static_cast<size_t>(cw) * 3);
+  *out_h = crop;
+  *out_w = crop;
+  return 1;
+}
+
+// Batch fused decode+resize+center-crop to (crop, crop): out is
+// (n, crop, crop, 3) row-major; ok[i] = 1 on success.
+void avt_decode_jpeg_shortest_batch(const char** paths, int n, int short_side,
+                                    int crop, uint8_t* out, int* ok,
+                                    int threads, int scaled) {
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    int i, oh, ow;
+    while ((i = next.fetch_add(1)) < n) {
+      ok[i] = avt_decode_jpeg_shortest(
+          paths[i], short_side, crop,
+          out + static_cast<size_t>(i) * crop * crop * 3, &oh, &ow, scaled);
+    }
+  };
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int t = std::max(1, std::min({threads, n, hw > 0 ? hw : 1}));
+  if (t == 1) {
+    work();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int k = 0; k < t; ++k) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
 }
 
 // Batch JPEG decode on a thread pool: all images must share (h, w).

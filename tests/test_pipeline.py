@@ -58,7 +58,15 @@ def test_clip_train_source_shapes(dataset):
     assert s["clip"].shape == (4, 224, 224, 3)
     assert s["clip"].dtype == np.uint8
     assert s["waveform"].shape == (22050 * 10,)
-    assert np.abs(s["waveform"]).max() <= 1.0
+    assert s["waveform"].dtype == np.int16  # int16 PCM transport (default)
+    cfg_f = DataConfig(frame_density=4, samplerate=22050, audio_int16=False)
+    sf = ClipTrainSource(root, ids, cfg_f).load(0, np.random.RandomState(0))
+    assert sf["waveform"].dtype == np.float32
+    assert np.abs(sf["waveform"]).max() <= 1.0
+    # int16 transport is the exact quantization of the float path
+    np.testing.assert_array_equal(
+        s["waveform"],
+        np.clip(np.rint(sf["waveform"] * 32768.0), -32768, 32767).astype(np.int16))
 
 
 def test_hardway_test_source(dataset):

@@ -60,6 +60,17 @@ def test_device_batched():
         assert np.abs(batched[i] - single).max() < 1e-6
 
 
+def test_int16_transport_exact_for_pcm16():
+    # int16 PCM transport: log_spectrogram(int16) == log_spectrogram(float)
+    # bit-for-bit when the float came from 16-bit samples (/32768 reader norm)
+    rng = np.random.RandomState(3)
+    cfg = SpectrogramConfig()
+    ints = rng.randint(-32768, 32768, cfg.num_samples).astype(np.int16)
+    f = ints.astype(np.float32) / 32768.0
+    assert np.array_equal(np.asarray(log_spectrogram(ints, cfg)),
+                          np.asarray(log_spectrogram(f, cfg)))
+
+
 def test_prepare_waveform_tiles_and_clips():
     sr = 1000
     short = np.ones(sr * 3) * 2.0  # 3 s of out-of-range samples
