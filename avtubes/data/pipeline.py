@@ -293,24 +293,47 @@ def device_prefetch(iterator: Iterator[dict[str, Any]], depth: int = 2,
     put = put or jax.device_put
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = object()
+    abandoned = threading.Event()  # consumer closed the generator early
+
+    def _put(item) -> bool:
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def stage():
         try:
             for batch in iterator:
-                q.put({k: (put(v) if isinstance(v, np.ndarray) else v)
-                       for k, v in batch.items()})
+                if abandoned.is_set():
+                    return
+                if not _put({k: (put(v) if isinstance(v, np.ndarray) else v)
+                             for k, v in batch.items()}):
+                    return
         except BaseException as e:  # surface on the consumer thread
-            q.put(e)
+            _put(e)
             return
-        q.put(stop)
+        _put(stop)
 
     th = threading.Thread(target=stage, daemon=True)
     th.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    th.join(timeout=5)
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # unblock + retire the stager even if the consumer broke mid-epoch
+        # (e.g. --steps N smoke runs), so staged device batches are released
+        abandoned.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        th.join(timeout=5)

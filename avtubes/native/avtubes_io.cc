@@ -226,9 +226,12 @@ void resize_cubic_hwc(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
         a1 += w[k] * p[1];
         a2 += w[k] * p[2];
       }
-      trow[x * 3] = a0;
-      trow[x * 3 + 1] = a1;
-      trow[x * 3 + 2] = a2;
+      // Pillow stores the horizontal-pass result as a uint8 image before
+      // the vertical pass; quantizing the intermediate the same way keeps
+      // the two implementations within ~1 level even on noise
+      trow[x * 3] = std::fmin(255.0f, std::fmax(0.0f, std::floor(a0 + 0.5f)));
+      trow[x * 3 + 1] = std::fmin(255.0f, std::fmax(0.0f, std::floor(a1 + 0.5f)));
+      trow[x * 3 + 2] = std::fmin(255.0f, std::fmax(0.0f, std::floor(a2 + 0.5f)));
     }
   }
   // vertical pass: accumulate whole rows (vectorizable inner loop)

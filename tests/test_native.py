@@ -73,3 +73,80 @@ def test_jpeg_batch(tmp_path):
     assert list(ok) == [1] * 6 + [0]
     for i in range(6):
         np.testing.assert_array_equal(out[i], imgs[i])
+
+
+def _pil_shortest_crop(path, short_side, crop):
+    from PIL import Image
+
+    from avtubes.data.transforms import host_center_crop, host_resize_shortest, open_rgb
+
+    arr = np.asarray(host_resize_shortest(open_rgb(path), short_side))
+    return host_center_crop(arr, crop) if crop else arr
+
+
+def test_jpeg_shortest_precise_matches_pil(tmp_path):
+    # scaled=False decodes at full resolution then runs the PIL-parity
+    # bicubic (incl. Pillow's uint8 quantization between passes); Pillow
+    # resamples in fixed point vs our float, so the residual is <=1 level
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    for shape in ((480, 640), (640, 480), (300, 300)):
+        img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        p = tmp_path / f"{shape[0]}x{shape[1]}.jpg"
+        Image.fromarray(img).save(p, quality=92)
+        ours = native.decode_jpeg_shortest(p, 224, crop=224, scaled=False)
+        ref = _pil_shortest_crop(p, 224, 224)
+        assert ours.shape == ref.shape == (224, 224, 3)
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        assert diff.max() <= 1
+        assert diff.mean() < 0.01
+
+
+def test_jpeg_shortest_nocrop_geometry(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (480, 640, 3), dtype=np.uint8)
+    p = tmp_path / "t.jpg"
+    Image.fromarray(img).save(p, quality=92)
+    out = native.decode_jpeg_shortest(p, 224, crop=0, scaled=False)
+    # shortest side -> 224, long side scales by the same factor (PIL rounding)
+    ref = _pil_shortest_crop(p, 224, 0)
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_jpeg_shortest_scaled_close_on_natural_image(tmp_path):
+    # DCT-domain scaled decode drifts a little vs full-res + bicubic; on a
+    # smooth (natural-image-like) gradient it must stay within a few levels
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:512, 0:768]
+    img = np.stack([(yy // 2) % 256, (xx // 3) % 256,
+                    ((yy + xx) // 4) % 256], -1).astype(np.uint8)
+    p = tmp_path / "grad.jpg"
+    Image.fromarray(img).save(p, quality=95)
+    precise = native.decode_jpeg_shortest(p, 224, crop=224, scaled=False)
+    fast = native.decode_jpeg_shortest(p, 224, crop=224, scaled=True)
+    assert np.abs(precise.astype(int) - fast.astype(int)).mean() < 4.0
+
+
+def test_jpeg_shortest_batch(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    paths = []
+    for i in range(5):
+        img = rng.randint(0, 256, (256 + 16 * i, 320, 3), dtype=np.uint8)
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(p)
+    paths.append(tmp_path / "missing.jpg")
+    out, ok = native.decode_jpeg_shortest_batch(paths, 224, 224,
+                                                threads=3, scaled=False)
+    assert list(ok) == [1] * 5 + [0]
+    assert out.shape == (6, 224, 224, 3)
+    for i in range(5):
+        single = native.decode_jpeg_shortest(paths[i], 224, crop=224, scaled=False)
+        np.testing.assert_array_equal(out[i], single)

@@ -133,6 +133,49 @@ def test_device_prefetch_passthrough():
     assert isinstance(out[0]["clip"], jax.Array)
 
 
+def test_device_prefetch_preserves_order_and_propagates_errors():
+    # order: the staging thread must yield batches in iterator order
+    def numbered(n):
+        for i in range(n):
+            yield {"x": np.full((2, 2), i, np.float32)}
+
+    out = list(device_prefetch(numbered(7), depth=3))
+    assert [int(b["x"][0, 0]) for b in out] == list(range(7))
+
+    # errors raised inside the source iterator surface on the consumer side
+    def exploding():
+        yield {"x": np.zeros((1,), np.float32)}
+        raise RuntimeError("decode failed mid-epoch")
+
+    it = device_prefetch(exploding(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed mid-epoch"):
+        list(it)
+
+
+def test_device_prefetch_abandoned_consumer_stops_stager():
+    import threading as _threading
+
+    started = _threading.active_count()
+
+    def endless():
+        i = 0
+        while True:
+            yield {"x": np.full((1,), i, np.float32)}
+            i += 1
+
+    it = device_prefetch(endless(), depth=2)
+    next(it)
+    it.close()  # consumer breaks mid-epoch; the staging thread must retire
+    deadline = 50
+    while _threading.active_count() > started and deadline:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert _threading.active_count() <= started
+
+
 def test_augment_train_batch_shapes_and_range():
     rng = np.random.RandomState(0)
     clips = rng.randint(0, 256, (2, 4, 224, 224, 3), dtype=np.uint8)
