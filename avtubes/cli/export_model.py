@@ -7,7 +7,11 @@ model code, no checkpoint format.
 
 Usage:
     python -m avtubes.cli.export_model --summaries_dir /ckpts \
-        --out model.avt [--platforms cpu,tpu] [--batch 8]
+        --out model.avt [--platforms cpu,tpu] [--batch 8] [--s2d]
+
+`--s2d` converts the checkpoint's 7x7/s2 stems to the exact space-to-depth
+equivalent (4x4/s1 over s2d(2) input) before export — same math, ~10%
+faster TPU inference.
 
 Smoke:  python -m avtubes.cli.export_model --synthetic --image_size 64 \
             --summaries_dir /tmp/ckpts --out /tmp/model.avt --platforms cpu
@@ -43,6 +47,9 @@ def main(argv=None):
     platforms = tuple(platforms.split(",")) if platforms else None
     batch = take("--batch", "b")
     batch = int(batch) if batch.isdigit() else batch
+    s2d = "--s2d" in argv
+    if s2d:
+        argv.remove("--s2d")
 
     cfg = ExperimentConfig.from_args(argv)
     d = cfg.data
@@ -61,6 +68,25 @@ def main(argv=None):
         print(f"loaded {ckpt} (epoch {epoch})")
     else:
         print("WARNING: no checkpoint found — exporting untrained weights")
+
+    if s2d:
+        # exact space-to-depth stem transform (same math, ~10% faster
+        # inference on TPU): convert the plain-stem checkpoint at export
+        import dataclasses
+
+        from avtubes.models.avenet import variables_to_s2d
+
+        conv = variables_to_s2d({"params": state.params,
+                                 "batch_stats": state.batch_stats})
+        s2d_model = dataclasses.replace(model, s2d_stem=True)
+        s2d_state = create_train_state(
+            s2d_model, jax.random.PRNGKey(0),
+            (jnp.zeros((2, d.image_size, d.image_size, 3)),
+             jnp.zeros((2, *spec_cfg.shape, 1))),
+            cfg.optim)
+        state = s2d_state.replace(params=conv["params"],
+                                  batch_stats=conv["batch_stats"])
+        print("converted stems to space-to-depth layout")
 
     blob = export_localizer(state, spec_cfg, batch=batch,
                             image_size=d.image_size, platforms=platforms)
