@@ -55,6 +55,9 @@ def enable_compilation_cache(path: str | None = None) -> None:
     cache_dir = os.path.join(base, _version_tag())
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        # re-set the enable flag: a prior disable_compilation_cache() in the
+        # same process (e.g. a hermetic dryrun) turns it off globally
+        jax.config.update("jax_enable_compilation_cache", True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception as e:  # cache support varies by backend; never fatal

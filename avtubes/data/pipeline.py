@@ -69,8 +69,10 @@ def load_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
         if wav.shape[0] < target:
             wav = np.pad(wav, (0, target - wav.shape[0]))
         wav = wav[:target]
-    if getattr(cfg, "audio_int16", True):
-        return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
+    if cfg.audio_int16:
+        from avtubes.data.spectrogram import quantize_int16_waveform
+
+        return quantize_int16_waveform(wav)
     return wav
 
 
@@ -175,8 +177,10 @@ class SyntheticSource:
         s = self.cfg.image_size
         wav = np.clip(r.randn(self.cfg.samplerate * self.cfg.audio_seconds) * 0.1,
                       -1, 1).astype(np.float32)
-        if getattr(self.cfg, "audio_int16", True):
-            wav = np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
+        if self.cfg.audio_int16:
+            from avtubes.data.spectrogram import quantize_int16_waveform
+
+            wav = quantize_int16_waveform(wav)
         if self.clip:
             t = max(self.cfg.frame_density, 1)
             img = r.randint(0, 256, (t, s, s, 3), dtype=np.uint8)

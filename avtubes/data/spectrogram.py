@@ -101,6 +101,13 @@ def _onesided_scale(cfg: SpectrogramConfig) -> np.ndarray:
     return s
 
 
+def quantize_int16_waveform(wav: np.ndarray) -> np.ndarray:
+    """Host-side int16 transport quantization — the exact inverse of
+    `as_float_waveform`'s 1/32768 rescale (lossless round trip for floats
+    that came from 16-bit PCM).  Keep the two in lockstep."""
+    return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
+
+
 def as_float_waveform(x: jnp.ndarray) -> jnp.ndarray:
     """Accept int16 PCM transport: int inputs are scaled by 1/32768 — the
     exact inverse of the host quantization in `data.pipeline` (and of the

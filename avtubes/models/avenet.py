@@ -49,10 +49,15 @@ class AVENet(nn.Module):
         return feats.max(axis=(1, 2))
 
     def __call__(self, image, audio, train: bool = True,
-                 aud_all: jnp.ndarray | None = None) -> HardwayOutput:
+                 aud_all: jnp.ndarray | None = None,
+                 pool_offset=0) -> HardwayOutput:
+        # pool_offset: index of this batch's first own-pair column within
+        # aud_all (shard_index * B for an all-gathered pool) — forwarded to
+        # hardway_head so gathered pools mask the right columns
         img = self.encode_image(image, train=train)
         aud = self.encode_audio(audio, train=train)
-        return hardway_head(img, aud, self.hardway, aud_all=aud_all)
+        return hardway_head(img, aud, self.hardway, aud_all=aud_all,
+                            pool_offset=pool_offset)
 
     def forward_shared_audio(self, frames, audio,
                              train: bool = False) -> HardwayOutput:

@@ -42,7 +42,10 @@ class FullModel(nn.Module):
         return feats.max(axis=(1, 2))  # AdaptiveMaxPool2d((1,1))
 
     def __call__(self, audio, video, train: bool = True,
-                 aud_all: jnp.ndarray | None = None) -> HardwayOutput:
+                 aud_all: jnp.ndarray | None = None,
+                 pool_offset=0) -> HardwayOutput:
+        # pool_offset: index of this batch's first own-pair column within
+        # aud_all (shard_index * B*T for an all-gathered pool)
         vid = self.encode_video(video, train=train)          # (B, T, h, w, C)
         b, t, h, w, c = vid.shape
         vid = vid.reshape(b * t, h, w, c)                    # (b t) folding
@@ -52,7 +55,8 @@ class FullModel(nn.Module):
                 f"audio batch {aud.shape[0]} != video frames {b}*{t}; repeat the "
                 "clip spectrogram per frame before calling"
             )
-        return hardway_head(vid, aud, self.hardway, aud_all=aud_all)
+        return hardway_head(vid, aud, self.hardway, aud_all=aud_all,
+                            pool_offset=pool_offset)
 
     def forward_shared_audio(self, audio, video, train: bool = True) -> HardwayOutput:
         """Forward with the audio encoded ONCE per clip and features tiled

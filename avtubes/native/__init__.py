@@ -44,42 +44,58 @@ def get_lib():
         if (not _LIB_PATH.exists() or stale) and not _build():
             if not _LIB_PATH.exists():
                 return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.avt_decode_wav.restype = ctypes.c_int
-        lib.avt_decode_wav.argtypes = [
-            ctypes.c_char_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
-        lib.avt_decode_wav_batch.restype = None
-        lib.avt_decode_wav_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
-        lib.avt_jpeg_size.restype = ctypes.c_int
-        lib.avt_jpeg_size.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int)]
-        lib.avt_decode_jpeg.restype = ctypes.c_int
-        lib.avt_decode_jpeg.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int, ctypes.c_int]
-        lib.avt_decode_jpeg_shortest.restype = ctypes.c_int
-        lib.avt_decode_jpeg_shortest.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int]
-        lib.avt_decode_jpeg_shortest_batch.restype = None
-        lib.avt_decode_jpeg_shortest_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int]
-        lib.avt_decode_jpeg_batch.restype = None
-        lib.avt_decode_jpeg_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError as e:
+            print(f"[native] load failed ({e}); using Python IO fallbacks")
+            return None
+        # a pre-existing .so from an older source revision (stale build that
+        # could not be rebuilt) may lack newer symbols — treat it as
+        # unavailable rather than raising AttributeError out of available()
+        try:
+            _bind(lib)
+        except AttributeError as e:
+            print(f"[native] stale library missing symbol ({e}); "
+                  "using Python IO fallbacks")
+            return None
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    lib.avt_decode_wav.restype = ctypes.c_int
+    lib.avt_decode_wav.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.avt_decode_wav_batch.restype = None
+    lib.avt_decode_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.avt_jpeg_size.restype = ctypes.c_int
+    lib.avt_jpeg_size.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.avt_decode_jpeg.restype = ctypes.c_int
+    lib.avt_decode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int]
+    lib.avt_decode_jpeg_shortest.restype = ctypes.c_int
+    lib.avt_decode_jpeg_shortest.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
+    lib.avt_decode_jpeg_shortest_batch.restype = None
+    lib.avt_decode_jpeg_shortest_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int]
+    lib.avt_decode_jpeg_batch.restype = None
+    lib.avt_decode_jpeg_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
 
 
 def available() -> bool:

@@ -414,15 +414,20 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
   if (!decode_jpeg_to(path, &full, &h, &w, scaled ? short_side : 0, &oh, &ow))
     return 0;
   // target dims from the ORIGINAL geometry (the Python wrapper sizes the
-  // crop==0 output buffer from jpeg_size, which reports original dims)
+  // crop==0 output buffer from jpeg_size, which reports original dims).
+  // Rounding MUST be half-to-even (std::nearbyint under the default FP
+  // rounding mode) to match Python round() in both host_resize_shortest
+  // and the wrapper's buffer allocation — lround (half away from zero)
+  // disagrees at exact .5 ties, which would overflow the caller's buffer
+  // by one row/column.
   int rh, rw;
   if (ow < oh) {
     rw = short_side;
-    rh = std::max(1, static_cast<int>(std::lround(
+    rh = std::max(1, static_cast<int>(std::nearbyint(
         static_cast<double>(oh) * short_side / ow)));
   } else {
     rh = short_side;
-    rw = std::max(1, static_cast<int>(std::lround(
+    rw = std::max(1, static_cast<int>(std::nearbyint(
         static_cast<double>(ow) * short_side / oh)));
   }
   if (crop <= 0) {

@@ -101,9 +101,13 @@ def create_flow_state(rng: jax.Array, image_size: int, learning_rate: float = 1e
 
     from avtubes.core.config import OptimConfig
 
+    # constant lr: the hardway MultiStepLR milestones are denominated in
+    # *hardway-recipe epochs* and have no meaning for this short
+    # unsupervised pretraining (with the default steps_per_epoch=1 they
+    # would decay lr 10x four times within the first 180 optimizer steps)
     tx = make_optimizer(
         dataclasses.replace(OptimConfig(), learning_rate=learning_rate,
-                            weight_decay=0.0),
+                            weight_decay=0.0, lr_milestones=()),
         steps_per_epoch)
     return AVTrainState.create(apply_fn=model.apply, params=variables["params"],
                                tx=tx, batch_stats={})
@@ -167,6 +171,7 @@ def run_pretrain(cfg: ExperimentConfig, steps_cap: int = 0,
         else:
             batches = _clip_pair_batches(cfg, epoch)
         step_in_epoch = 0
+        metrics = None
         for im1, im2 in batches:
             if steps_cap and step_in_epoch >= steps_cap:
                 break
@@ -178,9 +183,12 @@ def run_pretrain(cfg: ExperimentConfig, steps_cap: int = 0,
                            **{k: float(v) for k, v in metrics.items()})
             if guard.preempted:
                 break
-        last = {k: float(v) for k, v in metrics.items()}
+        if metrics is not None:  # an epoch can yield zero usable batches
+            last = {k: float(v) for k, v in metrics.items()}
         if guard.preempted:
-            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            save_checkpoint(cfg.train.summaries_dir, tag, epoch - 1, state)
+            # (epoch-1 may be -1: a resume then restarts at epoch 0 —
+            # max()ing to 0 would mark the partial epoch 0 as complete)
             print(f"[flow] preempted during epoch {epoch}; checkpoint saved")
             break
         save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)

@@ -107,6 +107,12 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
     guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
     last_metrics: dict = {}
     group = max(1, cfg.train.group_steps)
+    if do_eval:
+        # epoch-invariant: build the GT lookups once (make_gt_lookup_auto
+        # parses the whole vggss.json / XML dir)
+        gt_lookup = _synthetic_gt_lookup() if d.synthetic else make_gt_lookup_auto(d)
+        pf_gt_lookup = (make_gt_lookup_auto(d, per_frame=True)
+                        if not d.synthetic and d.gt_path else None)
     for epoch in range(start_epoch, o.epochs):
         aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 1), epoch)
         step_in_epoch = 0
@@ -139,14 +145,17 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                            **{k: float(v) for k, v in metrics.items()})
             if guard.preempted:
                 break
-        last_metrics = {k: float(v) for k, v in metrics.items()}
+        if step_in_epoch:  # an epoch can yield zero batches (all skipped)
+            last_metrics = {k: float(v) for k, v in metrics.items()}
         if loader.epoch_skipped:
             logger.log(step=int(state.step), epoch=epoch,
                        epoch_skipped=loader.epoch_skipped)
         if guard.preempted:
             # save under the PREVIOUS epoch number: this epoch is partial,
             # resume re-runs it from the top
-            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            save_checkpoint(cfg.train.summaries_dir, tag, epoch - 1, state)
+            # (epoch-1 may be -1: a resume then restarts at epoch 0 —
+            # max()ing to 0 would mark the partial epoch 0 as complete)
             print(f"[train] preempted during epoch {epoch}; checkpoint saved")
             break
 
@@ -154,10 +163,6 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
                                       num_workers=d.n_threads, shuffle=False,
                                       drop_last=False)
-            if d.synthetic:
-                gt_lookup = _synthetic_gt_lookup()
-            else:
-                gt_lookup = make_gt_lookup_auto(d)
             eval_metrics = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,
                                             epoch=epoch, logger=logger,
                                             record=cfg.train.record_qualitative)
@@ -178,7 +183,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                     pf_src = PerFrameEvalSource(video_root, test_ids, d)
                     pf = evaluate_perframe(
                         state, pf_src, d, spec_cfg,
-                        make_gt_lookup_auto(d, per_frame=True), logger=logger,
+                        pf_gt_lookup, logger=logger,
                         record=cfg.train.record_qualitative, epoch=epoch)
                     last_metrics.update(pf)
                     logger.log(step=int(state.step), epoch=epoch, **pf)

@@ -72,6 +72,39 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
     last: dict = {}
     guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
+
+    # per-epoch per-frame whole-video test setup (`train_3D.py:146-186`) —
+    # epoch-invariant, built once (the GT lookup parses the whole XML dir)
+    pf_src = None
+    gt_lookup = None
+    if do_eval:
+        from avtubes.train.evaluate import make_gt_lookup_auto
+        from avtubes.train.hardway import _synthetic_gt_lookup
+
+        pf_cfg = d
+        if d.synthetic:
+            import dataclasses
+
+            from avtubes.data.pipeline import SyntheticSource
+
+            # synthetic clips are frame_density long; a stride-16 eval over a
+            # 2-frame clip scores nothing (NaN) — use stride 1 over >=4 frames
+            # so the smoke exercises the real cIoU/AUC/mTC math
+            pf_cfg = dataclasses.replace(d, sampling_rate=1,
+                                         frame_density=max(d.frame_density, 4))
+            pf_src = SyntheticSource(pf_cfg, n=4, clip=True, seed=1)
+            gt_lookup = _synthetic_gt_lookup()
+        elif d.gt_path:
+            from pathlib import Path
+
+            from avtubes.data.index import load_split
+            from avtubes.data.pipeline import PerFrameEvalSource
+
+            if (Path(d.data_path) / "videos").exists():
+                test_ids = load_split(d.metadata_dir, d.testset, "test")
+                pf_src = PerFrameEvalSource(Path(d.data_path), test_ids, d)
+                gt_lookup = make_gt_lookup_auto(d, per_frame=True)
+
     for epoch in range(start_epoch, o.epochs):
         aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 2), epoch)
         step_in_epoch = 0
@@ -88,40 +121,26 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
                            **{k: float(v) for k, v in metrics.items()})
             if guard.preempted:
                 break
-        last = {k: float(v) for k, v in metrics.items()}
+        if step_in_epoch:  # an epoch can yield zero batches (all skipped)
+            last = {k: float(v) for k, v in metrics.items()}
         if loader.epoch_skipped:
             logger.log(step=int(state.step), epoch=epoch,
                        epoch_skipped=loader.epoch_skipped)
         if guard.preempted:
             # partial epoch: save under the previous epoch number so a
             # resume re-runs this epoch from the top
-            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            save_checkpoint(cfg.train.summaries_dir, tag, epoch - 1, state)
+            # (epoch-1 may be -1: a resume then restarts at epoch 0 —
+            # max()ing to 0 would mark the partial epoch 0 as complete)
             print(f"[train] preempted during epoch {epoch}; checkpoint saved")
             break
 
         if do_eval:
             # per-epoch per-frame whole-video test (`train_3D.py:146-186`)
-            from avtubes.train.evaluate import evaluate_perframe, make_gt_lookup_auto
-            from avtubes.train.hardway import _synthetic_gt_lookup
+            from avtubes.train.evaluate import evaluate_perframe
 
-            pf_src = None
-            if d.synthetic:
-                from avtubes.data.pipeline import SyntheticSource
-
-                pf_src = SyntheticSource(d, n=4, clip=True, seed=1)
-                gt_lookup = _synthetic_gt_lookup()
-            elif d.gt_path:
-                from pathlib import Path
-
-                from avtubes.data.index import load_split
-                from avtubes.data.pipeline import PerFrameEvalSource
-
-                if (Path(d.data_path) / "videos").exists():
-                    test_ids = load_split(d.metadata_dir, d.testset, "test")
-                    pf_src = PerFrameEvalSource(Path(d.data_path), test_ids, d)
-                    gt_lookup = make_gt_lookup_auto(d, per_frame=True)
             if pf_src is not None:
-                pf = evaluate_perframe(state, pf_src, d, spec_cfg, gt_lookup,
+                pf = evaluate_perframe(state, pf_src, pf_cfg, spec_cfg, gt_lookup,
                                        model_kind="3d", logger=logger,
                                        record=cfg.train.record_qualitative,
                                        epoch=epoch)

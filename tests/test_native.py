@@ -132,6 +132,21 @@ def test_jpeg_shortest_scaled_close_on_natural_image(tmp_path):
     assert np.abs(precise.astype(int) - fast.astype(int)).mean() < 4.0
 
 
+def test_jpeg_shortest_rounding_tie(tmp_path):
+    # 641x448 -> long side 641*224/448 = 320.5 exactly: Python round() and
+    # the C++ dim math must both round half-to-even (320), or the C++ side
+    # writes one row past the wrapper-allocated buffer
+    from PIL import Image
+
+    rng = np.random.RandomState(6)
+    p = tmp_path / "tie.jpg"
+    Image.fromarray(rng.randint(0, 256, (641, 448, 3), np.uint8)).save(p, quality=92)
+    out = native.decode_jpeg_shortest(p, 224, crop=0, scaled=False)
+    ref = _pil_shortest_crop(p, 224, 0)
+    assert out.shape == ref.shape == (320, 224, 3)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_jpeg_shortest_batch(tmp_path):
     from PIL import Image
 

@@ -44,3 +44,22 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     assert proc.returncode == 0, f"non-clean exit {proc.returncode}:\n{out}"
     assert "preempted" in out or "final:" in out  # guard fired or run finished
     assert any(p.name.startswith("hardway16_ep") for p in tmp_path.iterdir())
+
+
+def test_epoch0_preemption_checkpoint_resumes_at_epoch0(tmp_path):
+    """A partial epoch 0 is saved as ep-1 so resume (+1) restarts at epoch 0;
+    max()ing to 0 would mark the partial epoch as complete and skip it."""
+    import jax
+
+    from avtubes.core.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from avtubes.train.flow_pretrain import create_flow_state
+
+    state = create_flow_state(jax.random.PRNGKey(0), 32)
+    p = save_checkpoint(tmp_path, "flownet", -1, state)
+    assert latest_checkpoint(tmp_path, "flownet") == p
+    _, epoch = restore_checkpoint(p, state)
+    assert int(epoch) + 1 == 0
