@@ -75,11 +75,13 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
                            **{k: float(v) for k, v in metrics.items()})
             if guard.preempted:
                 break
-        last = {k: float(v) for k, v in metrics.items()}
+        if step_in_epoch:  # an epoch can yield zero batches
+            last = {k: float(v) for k, v in metrics.items()}
         if guard.preempted:
             # partial epoch: save under the previous epoch number so a
             # resume re-runs this epoch from the top
-            save_checkpoint(cfg.train.summaries_dir, tag, max(epoch - 1, 0), state)
+            save_checkpoint(cfg.train.summaries_dir, tag, epoch - 1, state)
+            # (epoch-1 may be -1: a resume then restarts at epoch 0)
             print(f"[train] preempted during epoch {epoch}; checkpoint saved")
             break
 
