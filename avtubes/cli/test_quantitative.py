@@ -71,8 +71,14 @@ def main(argv=None):
         src = HardwayTestSource(d.og_data_path or d.data_path, ids, d)
         gt_lookup = make_gt_lookup_auto(d)
 
-    loader = BatchLoader(src, batch_size=8, num_workers=d.n_threads,
-                         shuffle=False, drop_last=False)
+    if isinstance(src, HardwayTestSource):
+        from avtubes.data.pipeline import make_hardway_loader
+
+        loader = make_hardway_loader(src.root, src.ids, d, batch_size=8,
+                                     num_workers=d.n_threads)
+    else:
+        loader = BatchLoader(src, batch_size=8, num_workers=d.n_threads,
+                             shuffle=False, drop_last=False)
     if use_activation:
         metrics = _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup)
     else:

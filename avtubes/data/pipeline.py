@@ -125,6 +125,90 @@ class HardwayTestSource:
         return {"frame": frame, "waveform": wav, "id": vid}
 
 
+class BatchedHardwayLoader:
+    """Batch-granular native decode for the hard-way test set.
+
+    One C++ call decodes every JPEG of a batch (fused decode + PIL-parity
+    resize + center crop, internal thread pool) and one decodes every WAV.
+    Same skip-and-count semantics as `BatchLoader` (failed samples are
+    dropped from the batch and counted); byte-identical output
+    (tests/test_pipeline.py pins it).
+
+    Measured on the 1-core dev host this is NOT faster than the per-sample
+    `BatchLoader` (215 vs 230 clips/s): per-sample Python overhead is small,
+    and BatchLoader's eager decode-ahead workers pipeline better with H2D
+    staging.  `make_hardway_loader` therefore defaults to per-sample; this
+    class is the opt-in (`mode="batched"`) for many-core hosts where one
+    GIL-free C++ thread pool per batch scales past Python worker threads.
+    """
+
+    def __init__(self, root: str | Path, ids: list[str], cfg: DataConfig,
+                 batch_size: int, threads: int | None = None):
+        self.root = Path(root)
+        self.ids = ids
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.threads = threads or max(2, cfg.n_threads)
+        self.skipped = 0
+        self.epoch_skipped = 0
+
+    def __len__(self) -> int:
+        return -(-len(self.ids) // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
+        from avtubes import native
+        from avtubes.data.spectrogram import quantize_int16_waveform
+
+        self.epoch_skipped = 0
+        cfg = self.cfg
+        target = cfg.samplerate * cfg.audio_seconds
+        for lo in range(0, len(self.ids), self.batch_size):
+            vids = self.ids[lo : lo + self.batch_size]
+            fpaths = [self.root / "frames" / f"{v}.jpg" for v in vids]
+            wpaths = [self.root / "audio" / f"{v}.wav" for v in vids]
+            frames, fok = native.decode_jpeg_shortest_batch(
+                fpaths, cfg.image_size, cfg.image_size,
+                threads=self.threads, scaled=False)  # eval: parity-grade
+            waves, rates = native.decode_wav_batch(
+                wpaths, cfg.audio_seconds, target, threads=self.threads)
+            ok = (fok == 1) & (rates > 0)
+            n_bad = int((~ok).sum())
+            if n_bad:
+                self.skipped += n_bad
+                self.epoch_skipped += n_bad
+                for v, good in zip(vids, ok):
+                    if not good:
+                        print(f"[loader] epoch {epoch}: skipping sample: {v}")
+            if not ok.any():
+                continue
+            if not n_bad:  # skip the fancy-index copy on the common path
+                good_frames, good_waves, good_ids = frames, waves, list(vids)
+            else:
+                good_frames, good_waves = frames[ok], waves[ok]
+                good_ids = [v for v, g in zip(vids, ok) if g]
+            wav_out = (quantize_int16_waveform(good_waves)
+                       if cfg.audio_int16 else good_waves)
+            yield {"frame": good_frames, "waveform": wav_out, "id": good_ids}
+
+
+def make_hardway_loader(root, ids, cfg: DataConfig, batch_size: int,
+                        num_workers: int = 4, mode: str = "per_sample"):
+    """Hard-way test loader. mode="per_sample" (default; measured fastest on
+    few-core hosts — eager decode-ahead workers overlap H2D staging) or
+    "batched" (one native C++ call per batch; for many-core hosts).  The
+    batched mode requires the native library and falls back to per-sample."""
+    if mode == "batched":
+        try:
+            from avtubes import native
+
+            if native.available():
+                return BatchedHardwayLoader(root, ids, cfg, batch_size)
+        except ImportError:
+            pass
+    return BatchLoader(HardwayTestSource(root, ids, cfg), batch_size,
+                       num_workers=num_workers, shuffle=False, drop_last=False)
+
+
 class PerFrameEvalSource:
     """Whole-video eval: cv2-decode every frame of `videos/<id>.mp4`."""
 

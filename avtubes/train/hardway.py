@@ -160,9 +160,17 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             break
 
         if do_eval:
-            test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
-                                      num_workers=d.n_threads, shuffle=False,
-                                      drop_last=False)
+            if isinstance(test_src, HardwayTestSource):
+                # batched native decode path (one C++ call per batch)
+                from avtubes.data.pipeline import make_hardway_loader
+
+                test_loader = make_hardway_loader(
+                    test_src.root, test_src.ids, d,
+                    batch_size=min(8, len(test_src)), num_workers=d.n_threads)
+            else:
+                test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
+                                          num_workers=d.n_threads, shuffle=False,
+                                          drop_last=False)
             eval_metrics = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,
                                             epoch=epoch, logger=logger,
                                             record=cfg.train.record_qualitative)

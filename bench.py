@@ -107,14 +107,15 @@ def bench_device_pipeline(timed, frames, waves, rtt: float) -> float:
 
 
 def measure_h2d_mbps() -> float:
-    """Host-to-device link rate for a large pinned buffer (MB/s)."""
+    """Host-to-device link rate for a large pinned buffer (MB/s, best of 3)."""
     buf = np.ones(16 * 1024 * 1024, np.uint8)
     jax.block_until_ready(jax.device_put(buf))  # warm path
-    reps = 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(buf))
-    return buf.nbytes / 1e6 / ((time.perf_counter() - t0) / reps)
+        best = max(best, buf.nbytes / 1e6 / (time.perf_counter() - t0))
+    return best
 
 
 def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float]:
@@ -125,15 +126,14 @@ def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float]:
     decomposing the end-to-end result into host-decode capacity vs link vs
     device capacity (min of the three binds)."""
     from avtubes.core.config import DataConfig
-    from avtubes.data.pipeline import BatchLoader, HardwayTestSource, device_prefetch
+    from avtubes.data.pipeline import device_prefetch, make_hardway_loader
     from avtubes.data.synthetic import write_synthetic_dataset
 
     with tempfile.TemporaryDirectory() as root:
         ids = write_synthetic_dataset(root, n_videos=n_clips, frames=1, seconds=10)
         cfg = DataConfig()
-        src = HardwayTestSource(root, ids, cfg)
-        loader = BatchLoader(src, batch_size=64, num_workers=max(2, (os.cpu_count() or 1)),
-                             shuffle=False, drop_last=False)
+        loader = make_hardway_loader(root, ids, cfg, batch_size=64,
+                                     num_workers=max(2, (os.cpu_count() or 1)))
 
         def run_once():
             acc = None
@@ -141,12 +141,14 @@ def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float]:
                 acc = masks_once(batch["frame"], batch["waveform"])
             jax.block_until_ready(acc)
 
+        # best-of-N: the host side shares cores with co-tenants, so single
+        # runs swing +-50%; the max is the reproducible capacity number
         run_once()  # warm: page cache + compile
-        reps = 2
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        e2e = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
             run_once()
-        e2e = n_clips / ((time.perf_counter() - t0) / reps)
+            e2e = max(e2e, n_clips / (time.perf_counter() - t0))
 
         def host_only():
             n = 0
@@ -155,9 +157,11 @@ def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float]:
             return n
 
         host_only()
-        t0 = time.perf_counter()
-        host_only()
-        host = n_clips / (time.perf_counter() - t0)
+        host = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            host_only()
+            host = max(host, n_clips / (time.perf_counter() - t0))
     return e2e, host
 
 

@@ -244,3 +244,44 @@ def _hue_shift_choose(x, shift):
     g2 = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
     b2 = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
     return jnp.stack([r2, g2, b2], axis=-1)
+
+
+def test_batched_hardway_loader_matches_per_sample(dataset):
+    from avtubes import native
+    from avtubes.data.pipeline import BatchedHardwayLoader
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root, ids = dataset
+    cfg = DataConfig()
+    per_sample = BatchLoader(HardwayTestSource(root, ids, cfg), batch_size=2,
+                             num_workers=2, shuffle=False, drop_last=False)
+    batched = BatchedHardwayLoader(root, ids, cfg, batch_size=2)
+    a = list(per_sample.epoch(0))
+    b = list(batched.epoch(0))
+    assert len(a) == len(b) == len(batched)
+    for ba, bb in zip(a, b):
+        assert ba["id"] == bb["id"]
+        np.testing.assert_array_equal(ba["frame"], bb["frame"])
+        assert bb["waveform"].dtype == ba["waveform"].dtype
+        np.testing.assert_array_equal(ba["waveform"], bb["waveform"])
+
+
+def test_batched_hardway_loader_skips_bad(dataset, tmp_path):
+    import shutil
+
+    from avtubes import native
+    from avtubes.data.pipeline import BatchedHardwayLoader
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root, ids = dataset
+    # copy the fixture and corrupt one frame
+    broken = tmp_path / "broken"
+    shutil.copytree(root, broken)
+    (broken / "frames" / f"{ids[1]}.jpg").write_bytes(b"not a jpeg")
+    cfg = DataConfig()
+    loader = BatchedHardwayLoader(broken, ids, cfg, batch_size=2)
+    got = [vid for batch in loader.epoch(0) for vid in batch["id"]]
+    assert got == [v for i, v in enumerate(ids) if i != 1]
+    assert loader.skipped == 1 and loader.epoch_skipped == 1
