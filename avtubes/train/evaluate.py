@@ -85,6 +85,25 @@ def _hardway_eval_masks_3d(state, frames_uint8, waveforms, spec_cfg):
     return heatmap_to_mask_batch(out.heatmap)
 
 
+def _pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
+    """Pad axis 0 to `to` rows by repeating row 0 (sliced off after the jit
+    call — eval paths have no cross-sample coupling, so this is exact)."""
+    if arr.shape[0] >= to:
+        return arr
+    reps = np.repeat(arr[:1], to - arr.shape[0], axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+def bucket_len(n: int, buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> int:
+    """Smallest bucket >= n (multiples of 32 past the table).  Jitted eval
+    steps recompile per input shape — on TPU that is ~30 s per NEW video
+    length, so variable-length eval pads to a small set of shapes."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // 32) * 32
+
+
 def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
                      gt_lookup, epoch: int = 0, logger=None,
                      record: int = 0, model_kind: str = "2d") -> dict[str, float]:
@@ -99,10 +118,15 @@ def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramC
     mask_fn = _hardway_eval_masks_3d if model_kind == "3d" else _hardway_eval_masks
     cious = []
     recorded = 0
+    full_bsz = getattr(loader, "batch_size", 0)
     for batch in loader.epoch(epoch):
+        n = batch["frame"].shape[0]
+        pad_to = full_bsz if 0 < n < full_bsz else n  # last partial batch:
+        # pad to the steady-state shape instead of compiling a second program
         masks = np.asarray(mask_fn(
-            state, jnp.asarray(batch["frame"]), jnp.asarray(batch["waveform"]),
-            spec_cfg))
+            state, jnp.asarray(_pad_rows(batch["frame"], pad_to)),
+            jnp.asarray(_pad_rows(batch["waveform"], pad_to)),
+            spec_cfg))[:n]
         for i, vid in enumerate(batch["id"]):
             gt = gt_lookup(vid, None)
             cious.append(ciou_single(masks[i], gt, 0.5))
@@ -148,12 +172,21 @@ def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: Spectrogram
         idxs = list(range(stride, clip.shape[0] - 1, stride))
         if not idxs:
             continue
-        frames = normalize_imagenet(jnp.asarray(clip[idxs]))
-        spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
+        k = len(idxs)
         if model_kind == "3d":
+            # 3D convs couple neighboring frames, so the clip runs at its
+            # natural length (padding would perturb features near the end;
+            # reference parity: the whole clip in one forward)
+            frames = normalize_imagenet(jnp.asarray(clip[idxs]))
+            spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
             heat = eval3d_heatmap_step(state, frames[None], spec1)[0]
         else:
-            heat = eval_heatmap_shared_step(state, frames, spec1)
+            # 2D eval is per-frame independent: pad the frame batch to a
+            # shape bucket so each unique video length does not recompile
+            frames_np = _pad_rows(clip[idxs], bucket_len(k))
+            frames = normalize_imagenet(jnp.asarray(frames_np))
+            spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
+            heat = eval_heatmap_shared_step(state, frames, spec1)[:k]
         masks = np.asarray(heatmap_to_mask_batch(heat))
         iou = [ciou_single(masks[j], gt_lookup(sample["id"], fi), 0.5)
                for j, fi in enumerate(idxs)]
