@@ -112,13 +112,20 @@ def _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup):
                                     method=joint)
         return out.heatmap, feats.mean(axis=-1)
 
+    from avtubes.train.evaluate import _pad_rows
+
     cious = []
+    full_bsz = getattr(loader, "batch_size", 0)
     for batch in loader.epoch(0):
-        frames = normalize_imagenet(jnp.asarray(batch["frame"]))
-        spec = log_spectrogram(jnp.asarray(batch["waveform"]), spec_cfg)[..., None]
+        n = batch["frame"].shape[0]
+        pad_to = full_bsz if 0 < n < full_bsz else n  # last partial batch:
+        # keep the steady-state shape instead of compiling a second program
+        frames = normalize_imagenet(jnp.asarray(_pad_rows(batch["frame"], pad_to)))
+        spec = log_spectrogram(
+            jnp.asarray(_pad_rows(batch["waveform"], pad_to)), spec_cfg)[..., None]
         heat, act = both_maps(frames, spec)
-        masks_h = np.asarray(heatmap_to_mask_batch(heat))
-        masks_a = np.asarray(heatmap_to_mask_batch(act))
+        masks_h = np.asarray(heatmap_to_mask_batch(heat))[:n]
+        masks_a = np.asarray(heatmap_to_mask_batch(act))[:n]
         for i, vid in enumerate(batch["id"]):
             gt = gt_lookup(vid, None)
             cious.append(max(ciou_single(masks_h[i], gt, 0.5),
