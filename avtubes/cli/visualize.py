@@ -108,9 +108,15 @@ def main(argv=None):
             idxs = list(range(d.sampling_rate, clip.shape[0] - 1, d.sampling_rate))
             if not idxs:
                 continue
-            frames = normalize_imagenet(jnp.asarray(clip[idxs]))
+            # pad the frame batch to a shape bucket: each distinct video
+            # length would otherwise recompile the eval step (~30 s on TPU)
+            from avtubes.train.evaluate import _pad_rows, bucket_len
+
+            k = len(idxs)
+            frames = normalize_imagenet(
+                jnp.asarray(_pad_rows(clip[idxs], bucket_len(k))))
             spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)
-            heat = eval_heatmap_shared_step(state, frames, spec1[None, ..., None])
+            heat = eval_heatmap_shared_step(state, frames, spec1[None, ..., None])[:k]
             masks = np.asarray(heatmap_to_mask_batch(heat))
             vdir = out / sample["id"]
             vdir.mkdir(exist_ok=True)
