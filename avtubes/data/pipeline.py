@@ -172,6 +172,26 @@ class BatchedHardwayLoader:
             waves, rates = native.decode_wav_batch(
                 wpaths, cfg.audio_seconds, target, threads=self.threads)
             ok = (fok == 1) & (rates > 0)
+            # native-failure fallback: retry through the Python path (PIL
+            # decodes some files libjpeg rejects, e.g. CMYK JPEGs) so both
+            # loader modes score the same sample set
+            for i in np.nonzero(~ok)[0]:
+                try:
+                    if fok[i] != 1:
+                        # host_load_eval_frame falls through to PIL when
+                        # the native decode declines the file
+                        frames[i] = host_load_eval_frame(fpaths[i],
+                                                         cfg.image_size)
+                    if rates[i] <= 0:
+                        samples, sr = read_wav(wpaths[i])
+                        wav = prepare_waveform(samples, sr,
+                                               cfg.audio_seconds).astype(np.float32)
+                        if wav.shape[0] < target:
+                            wav = np.pad(wav, (0, target - wav.shape[0]))
+                        waves[i] = wav[:target]
+                    ok[i] = True
+                except (OSError, ValueError):
+                    pass
             n_bad = int((~ok).sum())
             if n_bad:
                 self.skipped += n_bad
@@ -192,11 +212,16 @@ class BatchedHardwayLoader:
 
 
 def make_hardway_loader(root, ids, cfg: DataConfig, batch_size: int,
-                        num_workers: int = 4, mode: str = "per_sample"):
+                        num_workers: int = 4, mode: str | None = None):
     """Hard-way test loader. mode="per_sample" (default; measured fastest on
     few-core hosts — eager decode-ahead workers overlap H2D staging) or
     "batched" (one native C++ call per batch; for many-core hosts).  The
-    batched mode requires the native library and falls back to per-sample."""
+    default can be flipped fleet-wide with AVTUBES_EVAL_LOADER=batched;
+    the batched mode requires the native library and falls back to
+    per-sample."""
+    import os
+
+    mode = mode or os.environ.get("AVTUBES_EVAL_LOADER", "per_sample")
     if mode == "batched":
         try:
             from avtubes import native

@@ -38,9 +38,10 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        stale = (_LIB_PATH.exists()
-                 and _LIB_PATH.stat().st_mtime
-                 < (_DIR / "avtubes_io.cc").stat().st_mtime)
+        src = _DIR / "avtubes_io.cc"
+        # src may be absent in a pruned/packaged install with only the .so
+        stale = (_LIB_PATH.exists() and src.exists()
+                 and _LIB_PATH.stat().st_mtime < src.stat().st_mtime)
         if (not _LIB_PATH.exists() or stale) and not _build():
             if not _LIB_PATH.exists():
                 return None
@@ -201,7 +202,14 @@ def decode_jpeg_shortest(path: str | Path, short_side: int,
 def decode_jpeg_shortest_batch(paths: list[str | Path], short_side: int,
                                crop: int, threads: int = 8, scaled: bool = True
                                ) -> tuple[np.ndarray, np.ndarray] | None:
-    """Threaded fused decode+resize+center-crop -> ((n,crop,crop,3), ok)."""
+    """Threaded fused decode+resize+center-crop -> ((n,crop,crop,3), ok).
+
+    crop must be > 0: the batch layout is (n, crop, crop, 3), so the
+    variable-size crop==0 mode of the single-image API has no batch form.
+    """
+    if crop <= 0:
+        raise ValueError("decode_jpeg_shortest_batch requires crop > 0 "
+                         "(use decode_jpeg_shortest for variable-size output)")
     lib = get_lib()
     if lib is None:
         return None

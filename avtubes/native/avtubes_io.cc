@@ -441,6 +441,9 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
   const int top = std::max(0, (rh - crop) / 2);
   const int left = std::max(0, (rw - crop) / 2);
   const int ch = std::min(crop, rh), cw = std::min(crop, rw);
+  if (ch < crop || cw < crop)  // crop larger than the resized image: the
+    memset(out, 0, static_cast<size_t>(crop) * crop * 3);  // uncovered
+    // border must be zeros, not whatever the caller's buffer held
   for (int y = 0; y < ch; ++y)
     memcpy(out + static_cast<size_t>(y) * crop * 3,
            resized.data() + (static_cast<size_t>(top + y) * rw + left) * 3,
@@ -455,6 +458,10 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
 void avt_decode_jpeg_shortest_batch(const char** paths, int n, int short_side,
                                     int crop, uint8_t* out, int* ok,
                                     int threads, int scaled) {
+  if (crop <= 0) {  // batch layout is (n, crop, crop, 3): crop==0 would make
+    for (int i = 0; i < n; ++i) ok[i] = 0;  // every stride zero and all
+    return;                                 // threads write through `out`
+  }
   std::atomic<int> next(0);
   auto work = [&]() {
     int i, oh, ow;

@@ -161,7 +161,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
 
         if do_eval:
             if isinstance(test_src, HardwayTestSource):
-                # batched native decode path (one C++ call per batch)
+                # per-sample decode by default; AVTUBES_EVAL_LOADER=batched
+                # opts into the one-C++-call-per-batch mode (many-core hosts)
                 from avtubes.data.pipeline import make_hardway_loader
 
                 test_loader = make_hardway_loader(

@@ -187,7 +187,7 @@ def bench_train_step(rtt: float) -> float:
     g = 5
     # host-cropped clip shape, as ClipTrainSource emits (T, 224, 224, 3) u8
     clips = jax.device_put(
-        rng.randint(0, 256, (g, 20, 16, 224, 224, 3)).astype(np.uint8))
+        rng.randint(0, 256, (g, 20, 16, 224, 224, 3), dtype=np.uint8))
     waves = jax.device_put(
         np.clip(rng.randn(g, 20, spec_cfg.num_samples) * 0.1, -1, 1).astype(np.float32))
     keys = jax.random.split(jax.random.PRNGKey(1), g)
