@@ -285,3 +285,28 @@ def test_batched_hardway_loader_skips_bad(dataset, tmp_path):
     got = [vid for batch in loader.epoch(0) for vid in batch["id"]]
     assert got == [v for i, v in enumerate(ids) if i != 1]
     assert loader.skipped == 1 and loader.epoch_skipped == 1
+
+
+def test_batched_hardway_loader_pil_fallback_for_cmyk(dataset, tmp_path):
+    """Files libjpeg declines (CMYK output) must still be scored via the PIL
+    fallback, keeping batched and per-sample modes on the same sample set."""
+    import shutil
+
+    from PIL import Image
+
+    from avtubes import native
+    from avtubes.data.pipeline import BatchedHardwayLoader
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root, ids = dataset
+    mixed = tmp_path / "mixed"
+    shutil.copytree(root, mixed)
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 256, (300, 400, 3), np.uint8)).convert(
+        "CMYK").save(mixed / "frames" / f"{ids[0]}.jpg")
+    cfg = DataConfig()
+    loader = BatchedHardwayLoader(mixed, ids, cfg, batch_size=2)
+    got = [vid for batch in loader.epoch(0) for vid in batch["id"]]
+    assert got == ids  # nothing skipped
+    assert loader.skipped == 0
