@@ -203,6 +203,9 @@ def bench_train_step(rtt: float) -> float:
 
 
 def main():
+    from avtubes.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # driver reruns start warm (per-CPU-scoped dir)
     rtt = measure_rtt()
     h2d = measure_h2d_mbps()
     timed, masks_once, frames, waves = build_pipeline()
