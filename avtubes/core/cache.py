@@ -67,9 +67,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
 def disable_compilation_cache() -> None:
     """Turn the persistent cache off (hermetic runs, e.g. multichip dryrun).
 
-    Clearing the dir alone is NOT enough once the cache has been
+    Flipping the config flags alone is NOT enough once the cache has been
     initialized by an earlier enable in the same process — jax holds on to
-    the cache object — so the enable flag is switched off as well.
+    the initialized cache object and keeps serving reads from it (verified:
+    entry() then dryrun still loaded stale XLA:CPU AOT artifacts).  The
+    initialized object must be dropped via reset_cache() as well.
     """
     import jax
 
@@ -79,3 +81,9 @@ def disable_compilation_cache() -> None:
             jax.config.update(key, val)
         except Exception:
             pass
+    try:  # drop an already-initialized cache object (private, so guarded)
+        from jax._src import compilation_cache
+
+        compilation_cache.reset_cache()
+    except Exception:
+        pass
