@@ -52,3 +52,37 @@ def test_export_roundtrip_matches_live():
         want = np.asarray(heatmap_to_mask_batch(out.heatmap))
         flips = np.abs(np.asarray(masks) - want).sum(axis=(1, 2))
         assert flips.max() <= 16, f"per-map pixel flips {flips}"
+
+
+def test_export_s2d_conversion_bit_identical():
+    """Exporting after variables_to_s2d (the export_model --s2d path) must
+    produce the same heatmaps as the plain-stem export: the s2d stem is an
+    exact transform, so serving artifacts are interchangeable."""
+    import dataclasses
+
+    from avtubes.models.avenet import variables_to_s2d
+
+    state, spec_cfg = _tiny_state()
+    blob_plain = export_localizer(state, spec_cfg, image_size=IMG,
+                                  platforms=("cpu",))
+
+    conv = variables_to_s2d({"params": state.params,
+                             "batch_stats": state.batch_stats})
+    s2d_model = AVENet(s2d_stem=True)
+    s2d_state = create_train_state(
+        s2d_model, jax.random.PRNGKey(0),
+        (jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+        ExperimentConfig().optim, 4)
+    s2d_state = s2d_state.replace(params=conv["params"],
+                                  batch_stats=conv["batch_stats"])
+    blob_s2d = export_localizer(s2d_state, spec_cfg, image_size=IMG,
+                                platforms=("cpu",))
+
+    f1, f2 = load_localizer(blob_plain), load_localizer(blob_s2d)
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.integers(0, 255, (2, IMG, IMG, 3), np.uint8))
+    waves = jnp.asarray(rng.random((2, spec_cfg.num_samples), np.float32))
+    _, h1 = f1(frames, waves)
+    _, h2 = f2(frames, waves)
+    np.testing.assert_allclose(np.asarray(h1, np.float32),
+                               np.asarray(h2, np.float32), atol=1e-5)
