@@ -64,11 +64,22 @@ def load_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
     except ImportError:
         pass
     if wav is None:
-        samples, sr = read_wav(path)
-        wav = prepare_waveform(samples, sr, cfg.audio_seconds).astype(np.float32)
-        if wav.shape[0] < target:
-            wav = np.pad(wav, (0, target - wav.shape[0]))
-        wav = wav[:target]
+        wav = _python_prepared_wav(path, cfg)
+    return _finalize_waveform(wav, cfg)
+
+
+def _python_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
+    """Pure-Python decode+prepare to exactly target float32 samples."""
+    target = cfg.samplerate * cfg.audio_seconds
+    samples, sr = read_wav(path)
+    wav = prepare_waveform(samples, sr, cfg.audio_seconds).astype(np.float32)
+    if wav.shape[0] < target:
+        wav = np.pad(wav, (0, target - wav.shape[0]))
+    return wav[:target]
+
+
+def _finalize_waveform(wav: np.ndarray, cfg: DataConfig) -> np.ndarray:
+    """Apply the transport policy: int16 quantization when cfg.audio_int16."""
     if cfg.audio_int16:
         from avtubes.data.spectrogram import quantize_int16_waveform
 
@@ -157,7 +168,6 @@ class BatchedHardwayLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
         from avtubes import native
-        from avtubes.data.spectrogram import quantize_int16_waveform
 
         self.epoch_skipped = 0
         cfg = self.cfg
@@ -183,12 +193,7 @@ class BatchedHardwayLoader:
                         frames[i] = host_load_eval_frame(fpaths[i],
                                                          cfg.image_size)
                     if rates[i] <= 0:
-                        samples, sr = read_wav(wpaths[i])
-                        wav = prepare_waveform(samples, sr,
-                                               cfg.audio_seconds).astype(np.float32)
-                        if wav.shape[0] < target:
-                            wav = np.pad(wav, (0, target - wav.shape[0]))
-                        waves[i] = wav[:target]
+                        waves[i] = _python_prepared_wav(wpaths[i], cfg)
                     ok[i] = True
                 except (OSError, ValueError):
                     pass
@@ -206,9 +211,9 @@ class BatchedHardwayLoader:
             else:
                 good_frames, good_waves = frames[ok], waves[ok]
                 good_ids = [v for v, g in zip(vids, ok) if g]
-            wav_out = (quantize_int16_waveform(good_waves)
-                       if cfg.audio_int16 else good_waves)
-            yield {"frame": good_frames, "waveform": wav_out, "id": good_ids}
+            yield {"frame": good_frames,
+                   "waveform": _finalize_waveform(good_waves, cfg),
+                   "id": good_ids}
 
 
 def make_hardway_loader(root, ids, cfg: DataConfig, batch_size: int,
@@ -284,12 +289,9 @@ class SyntheticSource:
     def load(self, idx: int, rng=None) -> dict[str, Any]:
         r = np.random.RandomState(self.seed * 100003 + idx)
         s = self.cfg.image_size
-        wav = np.clip(r.randn(self.cfg.samplerate * self.cfg.audio_seconds) * 0.1,
-                      -1, 1).astype(np.float32)
-        if self.cfg.audio_int16:
-            from avtubes.data.spectrogram import quantize_int16_waveform
-
-            wav = quantize_int16_waveform(wav)
+        wav = _finalize_waveform(
+            np.clip(r.randn(self.cfg.samplerate * self.cfg.audio_seconds) * 0.1,
+                    -1, 1).astype(np.float32), self.cfg)
         if self.clip:
             t = max(self.cfg.frame_density, 1)
             img = r.randint(0, 256, (t, s, s, 3), dtype=np.uint8)

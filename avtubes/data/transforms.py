@@ -80,8 +80,6 @@ def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 22
                          resize_factor: float = 1.1) -> np.ndarray:
     """Decode clip frames -> shortest-side resize (1.1x) -> one consistent
     random crop across all frames.  Returns uint8 (T, size, size, 3)."""
-    from PIL import Image
-
     target = int(image_size * resize_factor)
     native_mod = None
     try:
@@ -117,8 +115,6 @@ def host_load_eval_frame(path, image_size: int = 224) -> np.ndarray:
     GIL — PIL's resize alone costs more than the JPEG decode) with a PIL
     fallback that computes the identical transform.
     """
-    from PIL import Image
-
     if str(path).lower().endswith((".jpg", ".jpeg")):
         try:
             from avtubes import native
