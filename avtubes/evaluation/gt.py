@@ -72,14 +72,8 @@ def flickr_gt_from_xml(xml_path: str | Path, per_frame: bool = False) -> np.ndar
 
 def vggss_gt_from_bboxes(bboxes) -> np.ndarray:
     """Rasterize VGGSS normalized bboxes [[x0,y0,x1,y1], ...] to a binary map."""
-    gt = np.zeros((IMG, IMG), dtype=np.float64)
-    for box in bboxes:
-        xmin, ymin, xmax, ymax = [int(IMG * max(float(v), 0.0)) for v in box]
-        tmp = np.zeros((IMG, IMG), dtype=np.float64)
-        tmp[ymin:ymax, xmin:xmax] = 1.0
-        gt += tmp
-    gt[gt > 0] = 1.0
-    return gt
+    scaled = [tuple(int(IMG * max(float(v), 0.0)) for v in box) for box in bboxes]
+    return _rasterize_boxes(scaled, accumulate=False)
 
 
 def load_vggss_index(json_path: str | Path) -> dict[str, list]:

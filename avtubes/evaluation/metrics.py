@@ -72,11 +72,15 @@ class Evaluator:
         self.ciou: list[float] = []
 
     def cal_CIOU(self, infer: np.ndarray, gtmap: np.ndarray, thres: float = 0.01):
-        c = ciou_single(infer, gtmap, thres)
-        self.ciou.append(c)
+        # one binarize/inter/union pass shared with the ratio (ciou_single's
+        # math, inlined so the returned triple can never desynchronize)
         pred = (np.asarray(infer) >= thres).astype(np.float64)
         gt = np.asarray(gtmap)
-        return c, float(np.sum(pred * gt)), float(np.sum(gt) + np.sum(pred * (gt == 0)))
+        inter = float(np.sum(pred * gt))
+        union = float(np.sum(gt) + np.sum(pred * (gt == 0)))
+        c = inter / union  # same (unguarded) semantics as ciou_single
+        self.ciou.append(c)
+        return c, inter, union
 
     def cal_AUC(self) -> float:
         return auc_from_ciou(np.asarray(self.ciou))

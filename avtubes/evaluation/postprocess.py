@@ -38,10 +38,19 @@ def heatmap_to_mask(heatmap: np.ndarray, size: int = IMG) -> np.ndarray:
     """Exact (numpy) reference postprocess for one 14x14 heatmap.
 
     Returns a {0,1} float map of shape (size, size).
+
+    Deliberate deviation: a CONSTANT heatmap returns all zeros.  The
+    reference's inlined code is degenerate there (normalize_img skips the
+    rescale, and `out[out < 1.0] = 0` then yields a non-binary all-(1+c)
+    map for c >= 0 but all zeros for c < 0); a constant map carries no
+    localization evidence, so both our host and batched paths report an
+    empty mask — keeping the two implementations equal per sample.
     """
     h = np.asarray(
         jax.image.resize(jnp.asarray(heatmap, jnp.float32), (size, size), method="linear")
     )
+    if h.max() - h.min() == 0:
+        return np.zeros((size, size), np.float32)
     # reference: normalize_img(-h); pred = 1 - that  ==  minmax-normalized h
     h = -h
     h = normalize_minmax(h)

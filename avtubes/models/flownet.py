@@ -102,4 +102,7 @@ class FlowNetLite(nn.Module):
         b, h8, w8, _ = flow8.shape
         h, w = im1.shape[1], im1.shape[2]
         flow = jax.image.resize(flow8, (b, h, w, 2), method="linear")
-        return flow * (h / h8)  # cell units -> pixels at full resolution
+        # cell units -> pixels, per axis: channel 0 is dx (scale by the
+        # width ratio), channel 1 is dy (height ratio) — they differ for
+        # non-square or non-multiple-of-8 inputs
+        return flow * jnp.array([w / w8, h / h8], dtype=flow.dtype)

@@ -125,19 +125,23 @@ def hardway_head(
     sim1 = (pos * a).sum(-1, keepdims=True) / pos.sum(-1, keepdims=True)    # (B, 1)
     sim = (pos_all * a0).sum(1) / pos_all.sum(1)                            # (B, K)
     if k == b:
+        # own-pair diagonal: the reference's multiplicative (1 - 100) trick
+        # (`model.py:142-144`) — safe because own-pair sims train positive
         mask = 1.0 - cfg.mask_penalty * jnp.eye(b, dtype=sim.dtype)
+        sim = sim * mask
         if cfg.pool_block and cfg.pool_block < b:
-            # per-block negative pool: columns outside the sample's block get
-            # the same exclusion treatment as the diagonal, reproducing
-            # DataParallel per-replica pools on a contiguously sharded batch
+            # per-block negative pool: columns outside the sample's block
+            # simply don't exist on a DataParallel replica, so they are
+            # pinned to a large negative sim (softmax weight ~0).  NOT the
+            # multiplicative diagonal trick: cross-pair sims train negative,
+            # and (neg)*(1-100) would flip them into dominant positives.
             blk = jnp.arange(b) // cfg.pool_block
-            same = (blk[:, None] == blk[None, :]).astype(sim.dtype)
-            mask = jnp.where((same > 0) & ~jnp.eye(b, dtype=bool), 1.0,
-                             1.0 - cfg.mask_penalty)
+            same_block = blk[:, None] == blk[None, :]
+            sim = jnp.where(same_block, sim, -cfg.mask_penalty)
     else:
         # explicitly gathered pool: row i's own column sits at pool_offset + i
-        mask = global_pool_mask(b, k, pool_offset, cfg.mask_penalty, sim.dtype)
-    sim = sim * mask
+        sim = sim * global_pool_mask(b, k, pool_offset, cfg.mask_penalty,
+                                     sim.dtype)
     sim2 = (neg * a).sum(-1, keepdims=True) / neg.sum(-1, keepdims=True)    # (B, 1)
 
     cols = (sim1, sim, sim2) if cfg.use_neg else (sim1, sim)

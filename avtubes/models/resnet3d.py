@@ -24,7 +24,11 @@ from collections.abc import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from avtubes.models.resnet2d import bn_scale_init, conv_init
+from avtubes.models.resnet2d import conv_init
+
+# The reference's 3D path keeps BatchNorm3d's default constant-1 scale
+# (resnet3D.py builds plain BN; the N(1, 0.02) re-init in model.py:108-110
+# is applied only to the 2D AVENet) — so no bn_scale_init here.
 
 
 class BasicBlock3D(nn.Module):
@@ -36,7 +40,7 @@ class BasicBlock3D(nn.Module):
     def __call__(self, x, train: bool = True):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, scale_init=bn_scale_init, name=name)
+            dtype=self.dtype, name=name)
         identity = x
         y = nn.Conv(self.filters, (3, 3, 3), strides=self.stride, padding=1,
                     use_bias=False, kernel_init=conv_init, dtype=self.dtype,
@@ -75,7 +79,7 @@ class ResNet3D(nn.Module):
                     use_bias=False, kernel_init=conv_init, dtype=self.dtype,
                     name="stem")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, scale_init=bn_scale_init, name="stem_bn")(x)
+                         dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         if not self.no_max_pool:
             x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3)

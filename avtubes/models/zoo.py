@@ -133,6 +133,7 @@ class TransformerAttention(nn.Module):
         query = nn.Dense(self.latent, name="query")(audio_features)
         weights = jnp.einsum("bthwc,bc->bthw", key, query)
         value = nn.Dense(self.latent, name="value")(video_features)
-        soft = nn.softmax(weights.reshape(*weights.shape[:2], -1), axis=-1)
-        soft = soft.reshape(weights.shape)
+        # reference normalizes over the LAST axis only (nn.Softmax(dim=-1)
+        # on (B,T,H,W) — per-row over W, not jointly over H*W)
+        soft = nn.softmax(weights, axis=-1)
         return jnp.einsum("bthwc,bthw->bthw", value, soft)

@@ -38,7 +38,12 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 
 def _displacements(max_disp: int, stride: int) -> list[int]:
-    return list(range(-max_disp, max_disp + 1, stride))
+    """flownet2's i*stride grid: always symmetric and always includes 0.
+    (range(-max_disp, max_disp+1, stride) loses the zero displacement — and
+    with it the self-match channel — whenever stride does not divide
+    max_disp.)"""
+    steps = max_disp // stride
+    return [i * stride for i in range(-steps, steps + 1)]
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "stride"))

@@ -92,6 +92,10 @@ def log_spectrogram_fused(x: jnp.ndarray,
                           tile: int = 512) -> jnp.ndarray:
     """Batched (B, num_samples) -> (B, F, T) log-spectrogram, Pallas-fused on
     TPU; falls back to the pure-XLA implementation elsewhere."""
+    from avtubes.data.spectrogram import as_float_waveform
+
+    x = as_float_waveform(x)  # int16 PCM transport: same rescale as the
+    # XLA path, so both implementations agree on quantized inputs
     default = jax.config.jax_default_device
     on_tpu = (default.platform if default is not None
               else jax.default_backend()) == "tpu"

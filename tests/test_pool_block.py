@@ -27,9 +27,15 @@ def test_block_pool_matches_isolated_subbatch_logits():
         local = logits[sl, 1 + d * blk : 1 + (d + 1) * blk]
         np.testing.assert_allclose(local, iso_logits[:, 1:-1], atol=1e-5)
 
-    # non-local columns are excluded (penalized like the diagonal)
+    # non-local columns are excluded: pinned to a hard negative so their
+    # softmax weight is ~0 (NOT the multiplicative diagonal trick, which
+    # would flip negative cross-pair sims into dominant positives)
+    from avtubes.models.hardway import HardwayConfig as _HC
+
+    cfg = _HC()
     non_local = logits[0, 1 + blk : 1 + b]
-    assert np.all(np.abs(non_local) > np.abs(logits[0, 2]))  # heavily scaled
+    np.testing.assert_allclose(
+        non_local, -cfg.mask_penalty / cfg.temperature, rtol=1e-6)
 
 
 def test_pool_block_zero_is_global():

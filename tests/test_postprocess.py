@@ -56,3 +56,20 @@ def test_constant_heatmap_no_nan():
     heat = np.ones((14, 14), dtype=np.float32)
     m = heatmap_to_mask(heat)
     assert np.all(np.isfinite(m))
+
+
+def test_constant_heatmap_empty_mask_both_paths():
+    """Constant heatmaps (no localization evidence) give an all-zero mask in
+    BOTH the host and the batched path — the reference's inlined code is
+    degenerate here (non-binary for c>=0, zeros for c<0), so the two paths
+    would otherwise silently disagree."""
+    import jax.numpy as jnp
+
+    from avtubes.evaluation.postprocess import heatmap_to_mask, heatmap_to_mask_batch
+
+    for c in (-0.3, 0.0, 0.7):
+        host = heatmap_to_mask(np.full((14, 14), c, np.float32))
+        batch = np.asarray(heatmap_to_mask_batch(
+            jnp.full((1, 14, 14), c, jnp.float32)))[0]
+        assert host.sum() == 0
+        assert batch.sum() == 0
