@@ -14,6 +14,24 @@ import csv
 from pathlib import Path
 
 
+#: the benchmark metadata vendored at the repo root (reference `metadata/`:
+#: split CSVs + vggss.json — data files, checksummed in metadata/SHA256SUMS)
+VENDORED_METADATA = Path(__file__).resolve().parents[2] / "metadata"
+
+
+def resolve_metadata_dir(metadata_dir: str | Path) -> Path:
+    """Resolve a metadata dir, falling back to the vendored benchmark copy.
+
+    The CLIs default to a CWD-relative ``metadata``; when that doesn't exist
+    (fresh clone run from anywhere) the repo's vendored split CSVs +
+    vggss.json are used, so `load_split` works out of the box.
+    """
+    metadata_dir = Path(metadata_dir)
+    if not metadata_dir.is_dir() and VENDORED_METADATA.is_dir():
+        return VENDORED_METADATA
+    return metadata_dir
+
+
 def read_id_csv(path: str | Path) -> list[str]:
     """First column of each row — the video/clip id."""
     ids = []
@@ -51,7 +69,7 @@ def load_split(metadata_dir: str | Path, testset: str, split: str, subset: int =
     sharding (each host feeds its own slice of the global batch over DCN;
     pass (jax.process_index(), jax.process_count()) on multi-host pods).
     """
-    metadata_dir = Path(metadata_dir)
+    metadata_dir = resolve_metadata_dir(metadata_dir)
     if split == "train":
         name = train_csv_name(testset, subset)
     elif split == "test_hardway":

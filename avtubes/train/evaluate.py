@@ -54,9 +54,11 @@ def make_gt_lookup_auto(data_cfg: DataConfig, per_frame: bool = False):
     `test.py:77-83`)."""
     vggss_index = None
     if data_cfg.testset == "vggss":
+        from avtubes.data.index import resolve_metadata_dir
         from avtubes.evaluation import load_vggss_index
 
-        vggss_index = load_vggss_index(Path(data_cfg.metadata_dir) / "vggss.json")
+        vggss_index = load_vggss_index(
+            resolve_metadata_dir(data_cfg.metadata_dir) / "vggss.json")
     return make_gt_lookup(data_cfg, per_frame=per_frame, vggss_index=vggss_index)
 
 
