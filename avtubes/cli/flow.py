@@ -18,6 +18,9 @@ def main(argv=None):
     from avtubes.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from avtubes.core.distributed import maybe_initialize
+
+    maybe_initialize()  # env-gated multi-host (AVTUBES_COORDINATOR=...)
     argv = list(sys.argv[1:] if argv is None else argv)
     weight = 0.0
     if "--flow_loss_weight" in argv:

@@ -4,7 +4,9 @@ Equivalent of the reference's `test.py` + `run_quantitative.sh` path: load a
 checkpoint, run the hard-way test loader (flickr 249-image set or VGGSS
 5158-clip set), print cIoU/AUC.  `--use_activation` additionally scores the
 layer4 channel-mean activation map as an alternative predictor and keeps
-the per-sample max (test.py:102-140 semantics).
+the per-sample max (test.py:102-140 semantics).  Every run also prints the
+center-Gaussian comparison column (test.py:93,106-107) — the gkern(14,5)
+prior scored through the identical postprocess.
 
     python -m avtubes.cli.test_quantitative --testset flickr \
         --og_data_path ... --og_gt_path ... --summaries_dir ckpts/
@@ -84,9 +86,29 @@ def main(argv=None):
     else:
         metrics = evaluate_hardway(state, loader, d, spec_cfg, gt_lookup,
                                    model_kind=model_kind)
+    metrics.update(_gaussian_column(src, d, gt_lookup))
     print(f"Hardway Test cIoU  {metrics['hardway_ciou']}")
     print(f"Hardway Test auc   {metrics['hardway_auc']}")
+    print(f"Center-gaussian comparison: cIoU {metrics['gaussian_ciou']:.4f}  "
+          f"auc {metrics['gaussian_auc']:.4f}")
     return metrics
+
+
+def _gaussian_column(src, d, gt_lookup):
+    """Center-Gaussian comparison column (`test.py:93,106-107,144-148`):
+    a gkern(14, std=5) prior, upsampled/normalized/median-binarized exactly
+    like a model heatmap, scored against the same GT — the per-sample prior
+    every learned predictor must beat.  Sample-independent, so one mask."""
+    import numpy as np
+
+    from avtubes.cli.baseline_gaussian import gaussian_heatmap
+    from avtubes.evaluation import auc_from_ciou, ciou_single, heatmap_to_mask
+
+    mask = heatmap_to_mask(gaussian_heatmap(5.0))
+    ids = getattr(src, "ids", None) or [f"synthetic_{i}" for i in range(len(src))]
+    cious = np.asarray([ciou_single(mask, gt_lookup(v, None), 0.5) for v in ids])
+    return {"gaussian_ciou": float(np.mean(cious >= 0.5)),
+            "gaussian_auc": auc_from_ciou(cious)}
 
 
 def _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup):

@@ -12,6 +12,9 @@ def main(argv=None):
     from avtubes.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from avtubes.core.distributed import maybe_initialize
+
+    maybe_initialize()  # env-gated multi-host (AVTUBES_COORDINATOR=...)
     cfg = ExperimentConfig.from_args(argv)
     metrics = run(cfg, steps_cap=cfg.train.steps_cap)
     print("final:", metrics)

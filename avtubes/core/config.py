@@ -28,9 +28,19 @@ class DataConfig:
     samplerate: int = 22050
     audio_seconds: int = 10
     n_threads: int = 5                 # host decode workers
-    audio_int16: bool = True           # ship waveforms to device as int16 PCM
-                                       # (lossless for 16-bit sources; halves
-                                       # H2D; device rescales in spectrogram)
+    audio_transport: str = "int16"     # what the host ships to the device:
+                                       # 'float32' raw waveform; 'int16' PCM
+                                       #   waveform (lossless for 16-bit
+                                       #   sources, halves audio H2D);
+                                       # 'spec_int16' host-computed log-
+                                       #   spectrogram, int16 fixed-point
+                                       #   (halves audio bytes AGAIN, ~3e-5
+                                       #   quantization, ~4 ms/clip/core) —
+                                       #   for thin host->device links
+
+    @property
+    def audio_int16(self) -> bool:     # back-compat alias
+        return self.audio_transport == "int16"
     prefetch: int = 2                  # device prefetch depth
     synthetic: bool = False            # generated data (tests / smoke)
 
@@ -54,6 +64,9 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"    # backbone compute dtype ('float32'|'bfloat16')
     negative_pool: str = "global"      # 'global' | 'device' (DataParallel parity)
     log_every: int = 10
+    watch_every: int = 0               # log per-layer grad/param norms every N
+    #                                    steps (wandb.watch log_freq parity;
+    #                                    0 = off; reference uses 1000)
     group_steps: int = 1               # optimizer steps fused per dispatch (lax.scan)
     remat: bool = False                # rematerialize backbones in backward
     #                                    (fits the bs=20 recipe in one chip's HBM)
@@ -113,6 +126,14 @@ class ExperimentConfig:
         p.add_argument("--record_qualitative", default=0, type=int,
                        help="dump overlay JPEGs for the first N eval videos")
         p.add_argument("--steps", default=0, type=int, help="cap steps/epoch (0 = full)")
+        p.add_argument("--watch_every", default=0, type=int,
+                       help="log per-layer grad/param norms every N steps "
+                            "(wandb.watch parity; 0 = off)")
+        p.add_argument("--audio_transport", default="int16", type=str,
+                       choices=["float32", "int16", "spec_int16"],
+                       help="audio payload: raw f32, int16 PCM (lossless for "
+                            "16-bit sources), or host-computed int16 "
+                            "log-spectrogram (thin-link mode)")
         a = p.parse_args(argv)
         cfg = cls(
             data=DataConfig(
@@ -121,7 +142,7 @@ class ExperimentConfig:
                 image_size=a.image_size, frame_density=a.frame_density,
                 sampling_rate=a.sampling_rate, subset=a.subset, n_threads=a.n_threads,
                 samplerate=a.samplerate, audio_seconds=a.audio_seconds,
-                synthetic=a.synthetic,
+                audio_transport=a.audio_transport, synthetic=a.synthetic,
             ),
             optim=OptimConfig(
                 learning_rate=a.learning_rate, weight_decay=a.weight_decay,
@@ -132,7 +153,7 @@ class ExperimentConfig:
                 summaries_dir=a.summaries_dir, seed=a.seed,
                 compute_dtype=a.compute_dtype, negative_pool=a.negative_pool,
                 use_pretrained=a.use_pretrained, pretrained_path=a.pretrained_path,
-                group_steps=a.group_steps,
+                group_steps=a.group_steps, watch_every=a.watch_every,
                 steps_cap=a.steps, remat=a.remat,
                 record_qualitative=a.record_qualitative,
             ),

@@ -54,11 +54,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place every array in `tree` with its leading axis sharded over 'data'."""
+    """Place every array in `tree` with its leading axis sharded over 'data'.
+
+    Single-process: a plain device_put.  Multi-process (multi-host pods):
+    each process passes its LOCAL slice of the global batch (the loader
+    already reads a per-process dataset shard, `load_split(shard=...)`) and
+    the result is the global array assembled across processes — this
+    process's slice lands on its addressable devices, no cross-host copy.
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate every array across the mesh (params/opt state).  Multi-
+    process: every process must hold the same host value (same-seed init or
+    restored checkpoint — both true here)."""
     s = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

@@ -46,10 +46,9 @@ def load_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
     Files whose samplerate differs from the dataset's nominal rate are
     zero-padded/truncated to the nominal length so batches stay rectangular.
 
-    With cfg.audio_int16 (default) the result is quantized to int16 with
-    scale 32768 — the exact inverse of the WAV reader's PCM16 normalization,
-    so for 16-bit sources the device sees bit-identical samples at half the
-    H2D bytes.  `spectrogram.as_float_waveform` undoes it on device.
+    The result then goes through the audio transport policy
+    (`_finalize_waveform`): int16 PCM by default, or a host-computed int16
+    log-spectrogram under cfg.audio_transport='spec_int16'.
     """
     target = cfg.samplerate * cfg.audio_seconds
     wav = None
@@ -79,8 +78,28 @@ def _python_prepared_wav(path, cfg: DataConfig) -> np.ndarray:
 
 
 def _finalize_waveform(wav: np.ndarray, cfg: DataConfig) -> np.ndarray:
-    """Apply the transport policy: int16 quantization when cfg.audio_int16."""
-    if cfg.audio_int16:
+    """Apply the audio transport policy (cfg.audio_transport).
+
+    'float32'    raw waveform unchanged;
+    'int16'      PCM16 quantization (exact inverse of the reader's /32768 —
+                 bit-lossless for 16-bit sources, half the bytes);
+    'spec_int16' host-computed log-spectrogram as int16 fixed point (~3e-5
+                 quantization, half the bytes again).  The batch still
+                 travels under the "waveform" key; `log_spectrogram`'s
+                 static-shape passthrough dequantizes on device, so every
+                 consumer works with either transport.
+    """
+    if cfg.audio_transport == "spec_int16":
+        from avtubes.data.spectrogram import (
+            SpectrogramConfig,
+            log_spectrogram_np_f32,
+            quantize_int16_spectrogram,
+        )
+
+        spec_cfg = SpectrogramConfig(samplerate=cfg.samplerate,
+                                     seconds=cfg.audio_seconds)
+        return quantize_int16_spectrogram(log_spectrogram_np_f32(wav, spec_cfg))
+    if cfg.audio_transport == "int16":
         from avtubes.data.spectrogram import quantize_int16_waveform
 
         return quantize_int16_waveform(wav)

@@ -108,6 +108,42 @@ def quantize_int16_waveform(wav: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
 
 
+#: fixed-point scale for int16 log-spectrogram transport.  The normalized
+#: log-spectrogram is bounded in [log(1e-7)/12 ~ -1.3432, ~+2] (the lower
+#: bound is exact — log_offset floors the power), so 16000 leaves 2x
+#: headroom (32767/16000 = 2.048) and quantizes at 1/32000 ~ 3.1e-5
+#: absolute — under the 2e-4 scipy-parity tolerance of the f32 device path.
+SPEC_INT16_SCALE = 16000.0
+
+
+def quantize_int16_spectrogram(spec: np.ndarray) -> np.ndarray:
+    """Host-side int16 transport quantization of a normalized log-spectrogram
+    (inverse applied on device by `log_spectrogram`'s passthrough branch)."""
+    return np.clip(np.rint(spec * SPEC_INT16_SCALE),
+                   -32768, 32767).astype(np.int16)
+
+
+def log_spectrogram_np_f32(x: np.ndarray,
+                           cfg: SpectrogramConfig = SpectrogramConfig()) -> np.ndarray:
+    """Fast float32 HOST log-spectrogram (~3.9 ms/clip/core vs ~9 ms for the
+    f64 reference): stride-trick framing (zero-copy), pocketfft rfft, f32
+    elementwise tail.  Agrees with `log_spectrogram_np` to ~2e-7 — used by
+    the 'spec_int16' audio transport, where the host ships the (F, T)
+    spectrogram instead of the waveform (halves audio H2D bytes again;
+    worth it on thin host->device links)."""
+    fcount, nperseg, hop = cfg.num_frames, cfg.nperseg, cfg.hop
+    x = np.ascontiguousarray(x, np.float32)
+    frames = np.lib.stride_tricks.as_strided(
+        x, (fcount, nperseg), (x.strides[0] * hop, x.strides[0]))
+    frames = frames - frames.mean(axis=-1, keepdims=True, dtype=np.float32)
+    win = tukey_periodic(nperseg, cfg.tukey_alpha).astype(np.float32)
+    spec = np.fft.rfft(frames * win, nperseg, axis=-1)
+    power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+    power *= _onesided_scale(cfg).astype(np.float32)
+    out = np.log(power + np.float32(cfg.log_offset)) / np.float32(cfg.normalize_std)
+    return np.ascontiguousarray(out.T)
+
+
 def as_float_waveform(x: jnp.ndarray) -> jnp.ndarray:
     """Accept int16 PCM transport: int inputs are scaled by 1/32768 — the
     exact inverse of the host quantization in `data.pipeline` (and of the
@@ -139,7 +175,17 @@ def log_spectrogram(x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()
     """Batched device log-spectrogram: (..., num_samples) -> (..., F, T).
 
     Output matches log(scipy spectrogram + 1e-7) / 12 in float32.
+
+    Transport-aware: when `x` already has the (F, T) spectrogram shape it is
+    a host-computed payload (audio_transport='spec_int16' in the pipeline) —
+    int16 inputs are dequantized by 1/SPEC_INT16_SCALE, floats pass through.
+    The branch is on static shape, so every call site works with either
+    transport unchanged.
     """
+    if x.ndim >= 2 and tuple(x.shape[-2:]) == cfg.shape:
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return x.astype(jnp.float32) * (1.0 / SPEC_INT16_SCALE)
+        return x.astype(jnp.float32)
     x = as_float_waveform(x)
     frames = frame_signal(x, cfg)                       # (..., T, nperseg)
     frames = frames - frames.mean(axis=-1, keepdims=True)  # constant detrend

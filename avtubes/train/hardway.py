@@ -49,10 +49,11 @@ def build_sources(cfg: ExperimentConfig):
         train_src = SyntheticSource(d, n=max(4 * cfg.optim.batch_size, 8))
         test_src = SyntheticSource(d, n=8, clip=False, seed=1)
         return train_src, test_src
-    shard = None
-    if jax.process_count() > 1:  # multi-host: each host loads its slice
-        shard = (jax.process_index(), jax.process_count())
-    train_ids = load_split(d.metadata_dir, d.testset, "train", d.subset, shard=shard)
+    from avtubes.core.distributed import data_shard
+
+    # multi-host: each host loads its slice (None when single-process)
+    train_ids = load_split(d.metadata_dir, d.testset, "train", d.subset,
+                           shard=data_shard())
     test_ids = load_split(d.metadata_dir, d.testset, "test_hardway")
     train_src = ClipTrainSource(d.data_path, train_ids, d)
     test_src = HardwayTestSource(d.og_data_path or d.data_path, test_ids, d)
@@ -107,6 +108,11 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
     guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
     last_metrics: dict = {}
     group = max(1, cfg.train.group_steps)
+    # wandb.watch parity (`train_hardway.py:119`): compute per-layer
+    # grad/param norms inside the step program, emit them every watch_every
+    # steps.  watch is static, so enabling it compiles one (slightly larger)
+    # program; the norms are ~dozens of fused scalar reductions.
+    watch = cfg.train.watch_every > 0
     if do_eval:
         # epoch-invariant: build the GT lookups once (make_gt_lookup_auto
         # parses the whole vggss.json / XML dir)
@@ -125,7 +131,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                 state, metrics = hardway_fused_train_step(
                     state, batch["clip"], batch["waveform"],
                     jax.random.fold_in(aug_key, step_in_epoch), spec_cfg,
-                    o.loss_weight, d.image_size)
+                    o.loss_weight, d.image_size, watch)
                 step_in_epoch += 1
             else:
                 pending.append(batch)
@@ -137,12 +143,17 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                     state,
                     jnp.stack([p["clip"] for p in pending]),
                     jnp.stack([p["waveform"] for p in pending]),
-                    keys, spec_cfg, o.loss_weight, d.image_size)
+                    keys, spec_cfg, o.loss_weight, d.image_size, watch)
                 pending = []
                 step_in_epoch += group
+            norms = {k: v for k, v in metrics.items() if "_norm/" in k}
+            metrics = {k: v for k, v in metrics.items() if "_norm/" not in k}
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in metrics.items()})
+            if watch and step_in_epoch % cfg.train.watch_every < group:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in norms.items()})
             if guard.preempted:
                 break
         if step_in_epoch:  # an epoch can yield zero batches (all skipped)

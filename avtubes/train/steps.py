@@ -39,13 +39,36 @@ def _fold_time(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
 
 
-@functools.partial(jax.jit, static_argnames=("loss_weight",), donate_argnums=(0,))
+def pytree_group_norms(tree, prefix: str, depth: int = 2) -> dict[str, jnp.ndarray]:
+    """Per-module L2 norms of a params/grads pytree, grouped `depth` levels
+    deep (e.g. ``grad_norm/imgnet/layer1_block0``) — the scalar equivalent of
+    the reference's `wandb.watch(model, log="all")` gradient/parameter
+    histograms (`/root/reference/train_hardway.py:119`).  All reductions fuse
+    into the step program; cost is ~a few dozen tiny scalars."""
+    out: dict[str, jnp.ndarray] = {}
+
+    def rec(node, path):
+        if isinstance(node, dict) and len(path) < depth:
+            for k, v in node.items():
+                rec(v, path + (k,))
+        else:
+            sq = sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                     for l in jax.tree_util.tree_leaves(node))
+            out["/".join((prefix,) + path)] = jnp.sqrt(sq)
+
+    rec(tree, ())
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("loss_weight", "watch"),
+                   donate_argnums=(0,))
 def hardway_train_step(
     state: AVTrainState,
     frames: jnp.ndarray,      # (B, T, H, W, 3) clean view
     augmented: jnp.ndarray,   # (B, T, H, W, 3) aggressive-augment view
     spec: jnp.ndarray,        # (B, F, Tt, 1) per-clip log-spectrogram
     loss_weight: float = 0.1,
+    watch: bool = False,      # add per-layer grad/param norms to metrics
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     b, t = frames.shape[:2]
     frames_f = _fold_time(frames)
@@ -73,10 +96,13 @@ def hardway_train_step(
     grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
+    if watch:
+        metrics.update(pytree_group_norms(grads, "grad_norm"))
+        metrics.update(pytree_group_norms(state.params, "param_norm"))
     return state, metrics
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def hardway_1frame_train_step(
     state: AVTrainState,
     frames: jnp.ndarray,   # (B, H, W, 3) single middle frame
@@ -98,7 +124,8 @@ def hardway_1frame_train_step(
     return state, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("loss_weight", "spec_cfg", "image_size"),
+@functools.partial(jax.jit,
+                   static_argnames=("loss_weight", "spec_cfg", "image_size", "watch"),
                    donate_argnums=(0,))
 def hardway_fused_train_step(
     state: AVTrainState,
@@ -108,6 +135,7 @@ def hardway_fused_train_step(
     spec_cfg,
     loss_weight: float = 0.1,
     image_size: int = 224,
+    watch: bool = False,
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """The whole training step as ONE program: log-spectrogram (DFT matmuls),
     two-view augmentation, both forward passes, 4-term loss, Adam update.
@@ -121,10 +149,11 @@ def hardway_fused_train_step(
 
     spec = log_spectrogram(waveforms, spec_cfg)[..., None]
     v1, v2 = augment_train_batch(key, clips_uint8, image_size)
-    return hardway_train_step(state, v1, v2, spec, loss_weight)
+    return hardway_train_step(state, v1, v2, spec, loss_weight, watch)
 
 
-@functools.partial(jax.jit, static_argnames=("loss_weight", "spec_cfg", "image_size"),
+@functools.partial(jax.jit,
+                   static_argnames=("loss_weight", "spec_cfg", "image_size", "watch"),
                    donate_argnums=(0,))
 def hardway_multi_step(
     state: AVTrainState,
@@ -134,6 +163,7 @@ def hardway_multi_step(
     spec_cfg,
     loss_weight: float = 0.1,
     image_size: int = 224,
+    watch: bool = False,
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """G sequential optimizer steps inside ONE program (lax.scan).
 
@@ -145,14 +175,14 @@ def hardway_multi_step(
     def body(st, inputs):
         clips, waves, key = inputs
         st, metrics = hardway_fused_train_step(
-            st, clips, waves, key, spec_cfg, loss_weight, image_size)
+            st, clips, waves, key, spec_cfg, loss_weight, image_size, watch)
         return st, metrics
 
     state, metrics = jax.lax.scan(body, state, (clips_uint8, waveforms, keys))
     return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def train3d_step(
     state: AVTrainState,
     video: jnp.ndarray,    # (B, T, H, W, 3) clip

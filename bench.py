@@ -40,6 +40,34 @@ NORTH_STAR = 2000.0  # clips/sec/chip target from BASELINE.json
 BATCH = 128
 SCAN_STEPS = 10
 
+# bf16 peak matmul throughput per chip, for MFU.  v5e: 197 TFLOP/s
+# (394 TFLOP/s int8); v4: 275; v5p: 459.
+BF16_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+}
+
+
+def device_peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for k, v in sorted(BF16_PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if k in kind:
+            return v
+    return None
+
+
+def compiled_flops(jitted, *args, **kwargs) -> float:
+    """FLOPs of one invocation from XLA's cost analysis of the compiled
+    executable (an analytical count of the optimized HLO, not a measurement).
+    The persistent compilation cache makes the extra lower+compile cheap."""
+    ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
 
 def measure_rtt() -> float:
     """Synchronous round trip of a null program: dispatch + scalar readback.
@@ -107,31 +135,48 @@ def bench_device_pipeline(timed, frames, waves, rtt: float) -> float:
 
 
 def measure_h2d_mbps() -> float:
-    """Host-to-device link rate for a large pinned buffer (MB/s, best of 3)."""
-    buf = np.ones(16 * 1024 * 1024, np.uint8)
-    jax.block_until_ready(jax.device_put(buf))  # warm path
+    """Host-to-device link rate for INCOMPRESSIBLE data (MB/s, best of 3).
+
+    Two traps found the hard way: (a) the tunnel transport compresses, so a
+    compressible test buffer (np.ones) reads ~2.5x the rate real decoded
+    media achieves — random bytes measure the binding rate; (b)
+    block_until_ready can return before materialization here, so completion
+    is forced by a scalar readback of each fresh buffer.
+    """
+    rng = np.random.RandomState(0)
+    bufs = [rng.randint(0, 256, 16 * 1024 * 1024, dtype=np.uint8)
+            for _ in range(4)]
+    touch = jax.jit(lambda x: x.ravel()[0].astype(jnp.float32))
+    float(touch(jax.device_put(bufs[0])))  # warm path + compile
     best = 0.0
-    for _ in range(3):
+    for buf in bufs[1:]:
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(buf))
+        float(touch(jax.device_put(buf)))
         best = max(best, buf.nbytes / 1e6 / (time.perf_counter() - t0))
     return best
 
 
-def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float]:
-    """Disk -> decode -> H2D -> spectrogram+encode+mask, fully overlapped.
+def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float, float]:
+    """Disk -> decode -> H2D -> encode+mask, fully overlapped.
 
-    Returns (end_to_end clips/s, host-decode-only clips/s).  The decode-only
-    number times the identical loader pass with the device leg removed,
-    decomposing the end-to-end result into host-decode capacity vs link vs
-    device capacity (min of the three binds)."""
+    Returns (end_to_end clips/s, host-only clips/s, MB/clip shipped).  The
+    host-only number times the identical loader pass with the device leg
+    removed; together with the measured incompressible link rate this
+    decomposes end-to-end into host capacity vs link-bound vs device
+    capacity (min of the three binds).
+
+    Audio ships as a host-computed int16 log-spectrogram
+    (audio_transport='spec_int16', ~3e-5 quantization): on a thin
+    host->device link the waveform's extra 220 KB/clip costs more link time
+    than the ~4 ms/clip host STFT costs CPU.  Production PCIe hosts would
+    flip this to 'int16' and run the STFT on device."""
     from avtubes.core.config import DataConfig
     from avtubes.data.pipeline import device_prefetch, make_hardway_loader
     from avtubes.data.synthetic import write_synthetic_dataset
 
     with tempfile.TemporaryDirectory() as root:
         ids = write_synthetic_dataset(root, n_videos=n_clips, frames=1, seconds=10)
-        cfg = DataConfig()
+        cfg = DataConfig(audio_transport="spec_int16")
         loader = make_hardway_loader(root, ids, cfg, batch_size=64,
                                      num_workers=max(2, (os.cpu_count() or 1)))
 
@@ -151,18 +196,21 @@ def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float]:
             e2e = max(e2e, n_clips / (time.perf_counter() - t0))
 
         def host_only():
-            n = 0
+            n, nbytes = 0, 0
             for batch in loader.epoch(0):
                 n += batch["frame"].shape[0]
-            return n
+                nbytes += sum(v.nbytes for v in batch.values()
+                              if isinstance(v, np.ndarray))
+            return n, nbytes
 
-        host_only()
+        _, total_bytes = host_only()
+        mb_per_clip = total_bytes / 1e6 / n_clips
         host = 0.0
         for _ in range(2):
             t0 = time.perf_counter()
             host_only()
             host = max(host, n_clips / (time.perf_counter() - t0))
-    return e2e, host
+    return e2e, host, mb_per_clip
 
 
 def bench_train_step(rtt: float) -> float:
@@ -192,6 +240,13 @@ def bench_train_step(rtt: float) -> float:
         np.clip(rng.randn(g, 20, spec_cfg.num_samples) * 0.1, -1, 1).astype(np.float32))
     keys = jax.random.split(jax.random.PRNGKey(1), g)
 
+    # analytical FLOPs of ONE fused step (same math the scan body runs),
+    # before any donating call invalidates `state`
+    from avtubes.train.steps import hardway_fused_train_step
+
+    step_flops = compiled_flops(hardway_fused_train_step, state, clips[0],
+                                waves[0], keys[0], spec_cfg=spec_cfg)
+
     state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)  # compile
     float(m["loss"])
     state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)  # warm
@@ -199,7 +254,8 @@ def bench_train_step(rtt: float) -> float:
     t0 = time.perf_counter()
     state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)
     float(m["loss"])
-    return ((time.perf_counter() - t0) - rtt) / g * 1000.0
+    step_ms = ((time.perf_counter() - t0) - rtt) / g * 1000.0
+    return step_ms, step_flops
 
 
 def main():
@@ -210,9 +266,17 @@ def main():
     h2d = measure_h2d_mbps()
     timed, masks_once, frames, waves = build_pipeline()
     device_cps = bench_device_pipeline(timed, frames, waves, rtt)
-    e2e_cps, host_cps = bench_end_to_end(masks_once)
-    train_ms = bench_train_step(rtt)
-    print(json.dumps({
+    # MFU: analytical FLOPs (XLA cost analysis of the compiled inference
+    # program) x measured throughput / chip bf16 peak
+    rng = np.random.RandomState(0)
+    frames_u8 = jax.device_put(
+        rng.randint(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8))
+    inf_flops = compiled_flops(masks_once, frames_u8, waves)
+    peak = device_peak_flops()
+    e2e_cps, host_cps, mb_per_clip = bench_end_to_end(masks_once)
+    link_bound_cps = h2d / mb_per_clip
+    train_ms, train_flops = bench_train_step(rtt)
+    out = {
         "metric": "clips/sec/chip (spectrogram+encode+heatmap, bf16, B=128)",
         "value": round(device_cps, 1),
         "unit": "clips/s",
@@ -220,11 +284,22 @@ def main():
         "end_to_end_clips_per_sec": round(e2e_cps, 1),
         "end_to_end_vs_baseline": round(e2e_cps / NORTH_STAR, 3),
         "host_decode_clips_per_sec": round(host_cps, 1),
+        # stage decomposition: e2e is bounded by min(host decode, link, device)
+        "mb_per_clip_shipped": round(mb_per_clip, 3),
+        "link_bound_clips_per_sec": round(link_bound_cps, 1),
+        "e2e_fraction_of_binding_stage": round(
+            e2e_cps / min(host_cps, link_bound_cps, device_cps), 3),
         "train_step_ms_recipe_batch": round(train_ms, 1),
+        "gflops_per_clip_inference": round(inf_flops / BATCH / 1e9, 2),
+        "tflops_per_train_step": round(train_flops / 1e12, 2),
         "rtt_ms_measured": round(rtt * 1000.0, 2),
         "h2d_mbps_measured": round(h2d, 1),
         "host_cores": os.cpu_count(),
-    }))
+    }
+    if peak:
+        out["mfu_inference"] = round(inf_flops / BATCH * device_cps / peak, 3)
+        out["mfu_train"] = round(train_flops / (train_ms / 1e3) / peak, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

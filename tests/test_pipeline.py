@@ -59,7 +59,8 @@ def test_clip_train_source_shapes(dataset):
     assert s["clip"].dtype == np.uint8
     assert s["waveform"].shape == (22050 * 10,)
     assert s["waveform"].dtype == np.int16  # int16 PCM transport (default)
-    cfg_f = DataConfig(frame_density=4, samplerate=22050, audio_int16=False)
+    cfg_f = DataConfig(frame_density=4, samplerate=22050,
+                       audio_transport="float32")
     sf = ClipTrainSource(root, ids, cfg_f).load(0, np.random.RandomState(0))
     assert sf["waveform"].dtype == np.float32
     assert np.abs(sf["waveform"]).max() <= 1.0

@@ -149,3 +149,66 @@ def test_log_mel_spectrogram_matches_numpy():
     want = np.log(mel + cfg.log_offset) / cfg.normalize_std
     np.testing.assert_allclose(got, want, atol=2e-4)
     assert got.shape == (40, cfg.num_frames)
+
+
+def test_host_f32_spectrogram_matches_reference():
+    """The fast host f32 path (spec_int16 transport producer) agrees with the
+    f64 scipy-parity reference."""
+    from avtubes.data.spectrogram import log_spectrogram_np_f32
+
+    rng = np.random.RandomState(3)
+    cfg = SpectrogramConfig()
+    x = np.clip(rng.randn(cfg.num_samples) * 0.1, -1, 1).astype(np.float32)
+    f32 = log_spectrogram_np_f32(x, cfg)
+    f64 = log_spectrogram_np(x.astype(np.float64), cfg)
+    assert f32.shape == cfg.shape
+    assert np.abs(f32 - f64).max() < 1e-5
+
+
+def test_spec_int16_transport_roundtrip():
+    """spec_int16 transport: host spectrogram -> int16 -> device passthrough
+    dequantization lands within the scipy-parity tolerance of the device
+    waveform path (quantization step 1/32000 ~ 3e-5 < 2e-4)."""
+    from avtubes.data.spectrogram import (
+        log_spectrogram_np_f32,
+        quantize_int16_spectrogram,
+    )
+
+    rng = np.random.RandomState(4)
+    cfg = SpectrogramConfig(samplerate=16000, seconds=1)
+    x = np.clip(rng.randn(2, cfg.num_samples) * 0.3, -1, 1).astype(np.float32)
+    via_wave = np.asarray(log_spectrogram(x, cfg))
+    payload = np.stack([quantize_int16_spectrogram(log_spectrogram_np_f32(xi, cfg))
+                        for xi in x])
+    assert payload.dtype == np.int16 and payload.shape[-2:] == cfg.shape
+    via_spec = np.asarray(log_spectrogram(payload, cfg))  # passthrough branch
+    assert np.abs(via_spec - via_wave).max() < 2e-4
+
+
+def test_spec_transport_through_pipeline(tmp_path):
+    """A loader configured with audio_transport='spec_int16' emits (F, T)
+    int16 payloads that every consumer can feed through log_spectrogram."""
+    from avtubes.core.config import DataConfig
+    from avtubes.data.audio import write_wav
+    from avtubes.data.pipeline import HardwayTestSource
+    from PIL import Image
+
+    root = tmp_path
+    (root / "frames").mkdir()
+    (root / "audio").mkdir()
+    rng = np.random.RandomState(5)
+    Image.fromarray(rng.randint(0, 256, (64, 64, 3), np.uint8)).save(
+        root / "frames" / "v0.jpg")
+    wav = np.clip(rng.randn(16000) * 0.2, -1, 1).astype(np.float32)
+    write_wav(root / "audio" / "v0.wav", wav, 16000)
+
+    cfg = DataConfig(samplerate=16000, audio_seconds=1, image_size=64,
+                     audio_transport="spec_int16")
+    spec_cfg = SpectrogramConfig(samplerate=16000, seconds=1)
+    sample = HardwayTestSource(root, ["v0"], cfg).load(0)
+    assert sample["waveform"].dtype == np.int16
+    assert sample["waveform"].shape == spec_cfg.shape
+    spec = np.asarray(log_spectrogram(sample["waveform"], spec_cfg))
+    ref = log_spectrogram_np(
+        np.asarray(prepare_waveform(wav, 16000, 1), np.float64)[:16000], spec_cfg)
+    assert np.abs(spec - ref).max() < 2e-4

@@ -73,6 +73,52 @@ def test_avenet_forward_parity(reference_avenet, tmp_path):
                                atol=2e-4)
 
 
+@pytest.mark.slow
+def test_avenet_full_geometry_parity(reference_avenet, tmp_path):
+    """Forward parity at the REAL eval geometry: 224x224 images and 257x431
+    log-spectrograms (the shapes `train_hardway.py`/`test.py` actually run),
+    f32 — exercises the stride/padding/pool geometry the 96x96 test doesn't
+    (maxpool after the audio backbone, 14x14 head, odd spectrogram extents).
+    Also pins plain-stem vs s2d-stem equality at the same geometry (the
+    bench/serving default is s2d; previously only pinned at small shapes)."""
+    import jax.numpy as jnp
+
+    from avtubes.core.torch_import import avenet_from_torch
+    from avtubes.models import AVENet
+    from avtubes.models.avenet import variables_to_s2d
+
+    ckpt = tmp_path / "ref.pth.tar"
+    torch.save({"model_state_dict": reference_avenet.state_dict()}, ckpt)
+    variables = avenet_from_torch(ckpt)
+
+    rng = np.random.RandomState(7)
+    b = 2
+    image = rng.randn(b, 3, 224, 224).astype(np.float32)
+    audio = (rng.randn(b, 1, 257, 431) * 0.5).astype(np.float32)
+
+    with torch.no_grad():
+        A, logits, weighted, pos, neg = reference_avenet(
+            torch.tensor(image), torch.tensor(audio))
+
+    image_j = jnp.asarray(image.transpose(0, 2, 3, 1))
+    audio_j = jnp.asarray(audio.transpose(0, 2, 3, 1))
+    ours = AVENet().apply(variables, image_j, audio_j, train=False)
+
+    assert ours.heatmap.shape == (b, 14, 14)
+    np.testing.assert_allclose(np.asarray(ours.heatmap), A.numpy()[:, 0], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours.logits), logits.numpy(),
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ours.pos), pos.numpy()[:, 0], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours.weighted_map), weighted.numpy(),
+                               atol=2e-4)
+
+    s2d = AVENet(s2d_stem=True).apply(variables_to_s2d(variables),
+                                      image_j, audio_j, train=False)
+    np.testing.assert_allclose(np.asarray(s2d.heatmap), A.numpy()[:, 0], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s2d.logits), logits.numpy(),
+                               rtol=1e-3, atol=5e-3)
+
+
 def test_fullmodel_3d_forward_parity(tmp_path):
     """Reference FullModel (ResNet3D tubes + HardWayAttention) vs ours."""
     import jax.numpy as jnp

@@ -111,6 +111,31 @@ def test_fused_and_multi_step_consistency():
     assert num / den < 1e-4, f"relative param energy diff {num / den:.2e}"
 
 
+def test_watch_norms_emitted():
+    """watch=True adds finite per-layer grad/param norms (wandb.watch parity,
+    `/root/reference/train_hardway.py:119`) without changing the update."""
+    rng = np.random.RandomState(3)
+    b, t = 2, 2
+    frames = jnp.asarray(rng.randn(b, t, 64, 64, 3), jnp.float32)
+    augmented = frames + 0.01
+    spec = jnp.asarray(rng.randn(b, 64, 64, 1), jnp.float32)
+    _, s1 = _tiny_state(lr=1e-3)
+    _, s2 = _tiny_state(lr=1e-3)
+    s1, m_plain = hardway_train_step(s1, frames, augmented, spec, 0.1)
+    s2, m_watch = hardway_train_step(s2, frames, augmented, spec, 0.1, watch=True)
+    grad_keys = [k for k in m_watch if k.startswith("grad_norm/")]
+    param_keys = [k for k in m_watch if k.startswith("param_norm/")]
+    assert grad_keys and param_keys
+    assert any("imgnet" in k for k in grad_keys)
+    assert any("audnet" in k for k in grad_keys)
+    for k in grad_keys + param_keys:
+        assert np.isfinite(float(m_watch[k]))
+    assert np.isclose(float(m_plain["loss"]), float(m_watch["loss"]))
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_lr_schedule_milestones():
     from avtubes.train.state import make_lr_schedule
 

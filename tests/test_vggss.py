@@ -57,6 +57,10 @@ def test_vggss_quantitative_cli(vggss_root):
     assert metrics["hardway_n"] == len(ids)
     assert np.isfinite(metrics["hardway_ciou"])
     assert np.isfinite(metrics["hardway_auc"])
+    # the center-gaussian comparison column (test.py:93,106-107) is always
+    # reported next to the model's numbers
+    assert 0.0 <= metrics["gaussian_ciou"] <= 1.0
+    assert np.isfinite(metrics["gaussian_auc"])
 
 
 def test_vggss_training_eval(vggss_root, tmp_path):
