@@ -98,6 +98,17 @@ def _finalize_waveform(wav: np.ndarray, cfg: DataConfig) -> np.ndarray:
 
         spec_cfg = SpectrogramConfig(samplerate=cfg.samplerate,
                                      seconds=cfg.audio_seconds)
+        try:  # native C++ real-FFT (~4x the numpy path per core, no GIL)
+            from avtubes import native
+
+            if native.available():
+                out = native.log_spectrogram_i16(
+                    wav, spec_cfg.samplerate, spec_cfg.nperseg,
+                    spec_cfg.noverlap, spec_cfg.num_freqs, spec_cfg.num_frames)
+                if out is not None:
+                    return out
+        except ImportError:
+            pass
         return quantize_int16_spectrogram(log_spectrogram_np_f32(wav, spec_cfg))
     if cfg.audio_transport == "int16":
         from avtubes.data.spectrogram import quantize_int16_waveform
@@ -191,6 +202,12 @@ class BatchedHardwayLoader:
         self.epoch_skipped = 0
         cfg = self.cfg
         target = cfg.samplerate * cfg.audio_seconds
+        spec_transport = cfg.audio_transport == "spec_int16"
+        if spec_transport:
+            from avtubes.data.spectrogram import SpectrogramConfig
+
+            sc = SpectrogramConfig(samplerate=cfg.samplerate,
+                                   seconds=cfg.audio_seconds)
         for lo in range(0, len(self.ids), self.batch_size):
             vids = self.ids[lo : lo + self.batch_size]
             fpaths = [self.root / "frames" / f"{v}.jpg" for v in vids]
@@ -198,8 +215,16 @@ class BatchedHardwayLoader:
             frames, fok = native.decode_jpeg_shortest_batch(
                 fpaths, cfg.image_size, cfg.image_size,
                 threads=self.threads, scaled=False)  # eval: parity-grade
-            waves, rates = native.decode_wav_batch(
-                wpaths, cfg.audio_seconds, target, threads=self.threads)
+            if spec_transport:
+                # fused C++ decode+prepare+STFT: the waveform never crosses
+                # back into Python; payload is the (F, T) int16 spectrogram
+                waves, rates = native.decode_wav_spec_batch(
+                    wpaths, cfg.audio_seconds, target, sc.samplerate,
+                    sc.nperseg, sc.noverlap, sc.num_freqs, sc.num_frames,
+                    threads=self.threads)
+            else:
+                waves, rates = native.decode_wav_batch(
+                    wpaths, cfg.audio_seconds, target, threads=self.threads)
             ok = (fok == 1) & (rates > 0)
             # native-failure fallback: retry through the Python path (PIL
             # decodes some files libjpeg rejects, e.g. CMYK JPEGs) so both
@@ -212,7 +237,9 @@ class BatchedHardwayLoader:
                         frames[i] = host_load_eval_frame(fpaths[i],
                                                          cfg.image_size)
                     if rates[i] <= 0:
-                        waves[i] = _python_prepared_wav(wpaths[i], cfg)
+                        wav_i = _python_prepared_wav(wpaths[i], cfg)
+                        waves[i] = (_finalize_waveform(wav_i, cfg)
+                                    if spec_transport else wav_i)
                     ok[i] = True
                 except (OSError, ValueError):
                     pass
@@ -231,7 +258,10 @@ class BatchedHardwayLoader:
                 good_frames, good_waves = frames[ok], waves[ok]
                 good_ids = [v for v, g in zip(vids, ok) if g]
             yield {"frame": good_frames,
-                   "waveform": _finalize_waveform(good_waves, cfg),
+                   # spec payloads are already finalized by the fused C++
+                   # call; waveform batches quantize elementwise here
+                   "waveform": (good_waves if spec_transport
+                                else _finalize_waveform(good_waves, cfg)),
                    "id": good_ids}
 
 

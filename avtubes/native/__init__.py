@@ -97,6 +97,16 @@ def _bind(lib) -> None:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.avt_log_spec_i16.restype = ctypes.c_int
+    lib.avt_log_spec_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16)]
+    lib.avt_decode_wav_spec_batch.restype = None
+    lib.avt_decode_wav_spec_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
 
 
 def available() -> bool:
@@ -131,6 +141,45 @@ def decode_wav_batch(paths: list[str | Path], seconds: int, out_len: int,
     lib.avt_decode_wav_batch(
         arr, n, seconds, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_len, rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, rates
+
+
+def log_spectrogram_i16(wav: np.ndarray, samplerate: int, nperseg: int,
+                        noverlap: int, num_freqs: int,
+                        num_frames: int) -> np.ndarray | None:
+    """Native log-spectrogram of a prepared f32 waveform -> (F, T) int16
+    (spec_int16 transport payload; scale = SPEC_INT16_SCALE).  None when the
+    library is unavailable or nperseg isn't a power of two — callers fall
+    back to the numpy path (`log_spectrogram_np_f32` + quantize)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    wav = np.ascontiguousarray(wav, np.float32)
+    out = np.empty((num_freqs, num_frames), np.int16)
+    ok = lib.avt_log_spec_i16(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), wav.shape[0],
+        samplerate, nperseg, noverlap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return out if ok else None
+
+
+def decode_wav_spec_batch(paths: list[str | Path], seconds: int, wav_len: int,
+                          samplerate: int, nperseg: int, noverlap: int,
+                          num_freqs: int, num_frames: int, threads: int = 8
+                          ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused threaded batch: WAV decode + prepare + log-spectrogram ->
+    ((n, F, T) int16, (n,) rates; rate 0 = failed)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, num_freqs, num_frames), np.int16)
+    rates = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.avt_decode_wav_spec_batch(
+        arr, n, seconds, wav_len, samplerate, nperseg, noverlap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
     return out, rates
 
 

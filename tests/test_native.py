@@ -165,3 +165,60 @@ def test_jpeg_shortest_batch(tmp_path):
     for i in range(5):
         single = native.decode_jpeg_shortest(paths[i], 224, crop=224, scaled=False)
         np.testing.assert_array_equal(out[i], single)
+
+
+def test_native_spectrogram_matches_numpy():
+    """C++ real-FFT log-spectrogram == numpy f32 path within 2 int16 LSB
+    (2.5e-4 float; both feed the 'spec_int16' transport)."""
+    from avtubes.data.spectrogram import (
+        SpectrogramConfig,
+        log_spectrogram_np_f32,
+        quantize_int16_spectrogram,
+    )
+
+    cfg = SpectrogramConfig(samplerate=22050, seconds=2)
+    rng = np.random.RandomState(0)
+    wav = np.clip(rng.randn(cfg.num_samples) * 0.3, -1, 1).astype(np.float32)
+    ref = quantize_int16_spectrogram(log_spectrogram_np_f32(wav, cfg))
+    out = native.log_spectrogram_i16(wav, cfg.samplerate, cfg.nperseg,
+                                     cfg.noverlap, cfg.num_freqs, cfg.num_frames)
+    assert out is not None and out.shape == cfg.shape and out.dtype == np.int16
+    assert np.abs(out.astype(np.int32) - ref.astype(np.int32)).max() <= 2
+
+
+def test_native_spectrogram_rejects_non_pow2():
+    assert native.log_spectrogram_i16(np.zeros(4096, np.float32), 16000,
+                                      500, 1, 251, 8) is None
+
+
+def test_decode_wav_spec_batch(tmp_path):
+    """Fused decode+prepare+STFT batch == per-sample decode -> numpy STFT."""
+    from avtubes.data.spectrogram import (
+        SpectrogramConfig,
+        log_spectrogram_np_f32,
+        quantize_int16_spectrogram,
+    )
+
+    cfg = SpectrogramConfig(samplerate=8000, seconds=1)
+    rng = np.random.RandomState(1)
+    paths = []
+    wavs = []
+    for i in range(3):
+        w = np.clip(rng.randn(8000 if i != 1 else 3000) * 0.4, -1, 1).astype(np.float32)
+        p = tmp_path / f"w{i}.wav"
+        write_wav(p, w, 8000)
+        paths.append(p)
+        wavs.append(w)
+    paths.append(tmp_path / "missing.wav")
+    out, rates = native.decode_wav_spec_batch(
+        paths, 1, 8000, cfg.samplerate, cfg.nperseg, cfg.noverlap,
+        cfg.num_freqs, cfg.num_frames, threads=2)
+    assert rates.tolist()[:3] == [8000, 8000, 8000] and rates[3] == 0
+    for i, _ in enumerate(wavs):
+        # reference path reads the file back (PCM16 write quantizes)
+        w, sr = read_wav(paths[i])
+        prepared = np.asarray(prepare_waveform(w, sr, 1), np.float32)[:8000]
+        if prepared.shape[0] < 8000:
+            prepared = np.pad(prepared, (0, 8000 - prepared.shape[0]))
+        ref = quantize_int16_spectrogram(log_spectrogram_np_f32(prepared, cfg))
+        assert np.abs(out[i].astype(np.int32) - ref.astype(np.int32)).max() <= 2
