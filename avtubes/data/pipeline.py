@@ -98,7 +98,7 @@ def _finalize_waveform(wav: np.ndarray, cfg: DataConfig) -> np.ndarray:
 
         spec_cfg = SpectrogramConfig(samplerate=cfg.samplerate,
                                      seconds=cfg.audio_seconds)
-        try:  # native C++ real-FFT (~4x the numpy path per core, no GIL)
+        try:  # native C++ real-FFT (~2x the numpy path per core, no GIL)
             from avtubes import native
 
             if native.available():
