@@ -76,10 +76,12 @@ def main(argv=None):
     if isinstance(src, HardwayTestSource):
         from avtubes.data.pipeline import make_hardway_loader
 
-        loader = make_hardway_loader(src.root, src.ids, d, batch_size=8,
+        loader = make_hardway_loader(src.root, src.ids, d,
+                                     batch_size=d.eval_batch_size,
                                      num_workers=d.n_threads)
     else:
-        loader = BatchLoader(src, batch_size=8, num_workers=d.n_threads,
+        loader = BatchLoader(src, batch_size=min(d.eval_batch_size, len(src)),
+                             num_workers=d.n_threads,
                              shuffle=False, drop_last=False)
     if use_activation:
         metrics = _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup)

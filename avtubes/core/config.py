@@ -38,11 +38,16 @@ class DataConfig:
                                        #   quantization, ~4 ms/clip/core) —
                                        #   for thin host->device links
 
+    prefetch: int = 2                  # device prefetch depth
+    eval_batch_size: int = 32          # hard-way eval batch (per-sample
+                                       # independent + padded, so any value
+                                       # is numerically identical; bigger
+                                       # batches amortize device dispatch)
+    synthetic: bool = False            # generated data (tests / smoke)
+
     @property
     def audio_int16(self) -> bool:     # back-compat alias
         return self.audio_transport == "int16"
-    prefetch: int = 2                  # device prefetch depth
-    synthetic: bool = False            # generated data (tests / smoke)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +134,7 @@ class ExperimentConfig:
         p.add_argument("--watch_every", default=0, type=int,
                        help="log per-layer grad/param norms every N steps "
                             "(wandb.watch parity; 0 = off)")
+        p.add_argument("--eval_batch_size", default=32, type=int)
         p.add_argument("--audio_transport", default="int16", type=str,
                        choices=["float32", "int16", "spec_int16"],
                        help="audio payload: raw f32, int16 PCM (lossless for "
@@ -143,6 +149,7 @@ class ExperimentConfig:
                 sampling_rate=a.sampling_rate, subset=a.subset, n_threads=a.n_threads,
                 samplerate=a.samplerate, audio_seconds=a.audio_seconds,
                 audio_transport=a.audio_transport, synthetic=a.synthetic,
+                eval_batch_size=a.eval_batch_size,
             ),
             optim=OptimConfig(
                 learning_rate=a.learning_rate, weight_decay=a.weight_decay,

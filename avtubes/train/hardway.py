@@ -178,9 +178,11 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
 
                 test_loader = make_hardway_loader(
                     test_src.root, test_src.ids, d,
-                    batch_size=min(8, len(test_src)), num_workers=d.n_threads)
+                    batch_size=min(d.eval_batch_size, len(test_src)),
+                    num_workers=d.n_threads)
             else:
-                test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
+                test_loader = BatchLoader(test_src,
+                                          batch_size=min(d.eval_batch_size, len(test_src)),
                                           num_workers=d.n_threads, shuffle=False,
                                           drop_last=False)
             eval_metrics = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,

@@ -86,7 +86,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
             break
 
         if do_eval:
-            test_loader = BatchLoader(test_src, batch_size=min(8, len(test_src)),
+            test_loader = BatchLoader(test_src, batch_size=min(d.eval_batch_size, len(test_src)),
                                       num_workers=d.n_threads, shuffle=False,
                                       drop_last=False)
             gt_lookup = _synthetic_gt_lookup() if d.synthetic else make_gt_lookup(d)

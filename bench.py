@@ -255,7 +255,19 @@ def bench_train_step(rtt: float) -> float:
     state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)
     float(m["loss"])
     step_ms = ((time.perf_counter() - t0) - rtt) / g * 1000.0
-    return step_ms, step_flops
+    # HBM audit: device bytes with the recipe-batch training state resident
+    # (params/opt-state donated per step — double-buffering regressions show
+    # up here as a jump).  The axon backend doesn't implement memory_stats,
+    # so fall back to summing the host-tracked live device arrays.
+    stats = jax.local_devices()[0].memory_stats() or {}
+    live = stats.get("bytes_in_use", 0)
+    peak = stats.get("peak_bytes_in_use", 0)
+    if not live:
+        live = sum(a.nbytes for a in jax.live_arrays())
+    hbm = {"hbm_live_gb": round(live / 2**30, 3)}
+    if peak:
+        hbm["hbm_peak_gb"] = round(peak / 2**30, 3)
+    return step_ms, step_flops, hbm
 
 
 def main():
@@ -275,7 +287,7 @@ def main():
     peak = device_peak_flops()
     e2e_cps, host_cps, mb_per_clip = bench_end_to_end(masks_once)
     link_bound_cps = h2d / mb_per_clip
-    train_ms, train_flops = bench_train_step(rtt)
+    train_ms, train_flops, hbm = bench_train_step(rtt)
     out = {
         "metric": "clips/sec/chip (spectrogram+encode+heatmap, bf16, B=128)",
         "value": round(device_cps, 1),
@@ -295,6 +307,7 @@ def main():
         "rtt_ms_measured": round(rtt * 1000.0, 2),
         "h2d_mbps_measured": round(h2d, 1),
         "host_cores": os.cpu_count(),
+        **hbm,
     }
     if peak:
         out["mfu_inference"] = round(inf_flops / BATCH * device_cps / peak, 3)

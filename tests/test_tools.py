@@ -91,3 +91,14 @@ def test_convert_jpg_mp4_roundtrip(tmp_path):
     out = tmp_path / "extracted"
     assert extract_clip(mp4, out, frames=4, stride=2)
     assert sorted(p.name for p in out.glob("*.jpg")) == ["0.jpg", "1.jpg", "2.jpg", "3.jpg"]
+
+
+def test_profile_cli_smoke(tmp_path):
+    """The profiler CLI runs a traced inference step and writes a trace dir."""
+    from avtubes.cli.profile import main
+
+    times = main(["--mode", "infer", "--steps", "2", "--batch_size", "2",
+                  "--image_size", "64", "--samplerate", "2000",
+                  "--audio_seconds", "1", "--logdir", str(tmp_path / "tr")])
+    assert len(times) == 2 and all(t > 0 for t in times)
+    assert any((tmp_path / "tr").rglob("*.xplane.pb"))
