@@ -175,12 +175,15 @@ class BatchedHardwayLoader:
     dropped from the batch and counted); byte-identical output
     (tests/test_pipeline.py pins it).
 
-    Measured on the 1-core dev host this is NOT faster than the per-sample
-    `BatchLoader` (215 vs 230 clips/s): per-sample Python overhead is small,
-    and BatchLoader's eager decode-ahead workers pipeline better with H2D
-    staging.  `make_hardway_loader` therefore defaults to per-sample; this
-    class is the opt-in (`mode="batched"`) for many-core hosts where one
-    GIL-free C++ thread pool per batch scales past Python worker threads.
+    Mode choice is transport-dependent (1-core host measurements):
+    waveform transports — per-sample wins (198 vs 184 clips/s host-only;
+    eager decode-ahead workers overlap H2D staging better);
+    'spec_int16' — batched wins decisively (201 vs 151 host-only, 85 vs 69
+    clips/s end-to-end): the fused decode+prepare+STFT C++ call never
+    re-enters Python between stages and leaves the whole core to the
+    transfer thread between batches.  `make_hardway_loader` picks the
+    measured winner per transport; many-core hosts additionally scale the
+    internal C++ thread pool past the GIL.
     """
 
     def __init__(self, root: str | Path, ids: list[str], cfg: DataConfig,
@@ -267,15 +270,23 @@ class BatchedHardwayLoader:
 
 def make_hardway_loader(root, ids, cfg: DataConfig, batch_size: int,
                         num_workers: int = 4, mode: str | None = None):
-    """Hard-way test loader. mode="per_sample" (default; measured fastest on
-    few-core hosts — eager decode-ahead workers overlap H2D staging) or
-    "batched" (one native C++ call per batch; for many-core hosts).  The
-    default can be flipped fleet-wide with AVTUBES_EVAL_LOADER=batched;
-    the batched mode requires the native library and falls back to
-    per-sample."""
+    """Hard-way test loader.
+
+    mode="per_sample": eager decode-ahead worker threads (measured fastest
+    for waveform transports on few-core hosts: 198 vs 184 clips/s — Python
+    per-sample overhead is small and the workers overlap H2D staging).
+    mode="batched": one native C++ call per batch; with
+    audio_transport='spec_int16' the batch call fuses decode+prepare+STFT
+    so the waveform never re-enters Python — measured 33% faster there
+    (201 vs 151 clips/s on the 1-core host), so it is the default for that
+    transport.  Override per-run with mode=... or fleet-wide with
+    AVTUBES_EVAL_LOADER; batched requires the native library and falls
+    back to per-sample."""
     import os
 
-    mode = mode or os.environ.get("AVTUBES_EVAL_LOADER", "per_sample")
+    default = ("batched" if cfg.audio_transport == "spec_int16"
+               else "per_sample")
+    mode = mode or os.environ.get("AVTUBES_EVAL_LOADER", default)
     if mode == "batched":
         try:
             from avtubes import native
