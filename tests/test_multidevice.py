@@ -91,3 +91,34 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_sharded_step_emits_expected_collectives():
+    """The compiled HLO of the sharded train step contains the collectives
+    the design promises (DESIGN.md "Parallelism"): an all-reduce for the
+    gradient psum and an all-gather for the cross-shard negative-pool
+    matmul — and no accidental DCN-style all-to-alls."""
+    from avtubes.core.config import OptimConfig
+    from avtubes.core.mesh import replicate, shard_batch
+    from avtubes.models import AVENet
+    from avtubes.train import create_train_state
+    from avtubes.train.steps import hardway_1frame_train_step
+
+    mesh = cpu_mesh((8,), ("data",))
+    model = AVENet()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 32, 32, 1))),
+        OptimConfig(learning_rate=1e-3))
+    state = replicate(mesh, state)
+    rng = np.random.RandomState(2)
+    batch = shard_batch(mesh, {
+        "frame": rng.randn(8, 32, 32, 3).astype(np.float32),
+        "spec": rng.randn(8, 32, 32, 1).astype(np.float32)})
+
+    compiled = hardway_1frame_train_step.lower(
+        state, batch["frame"], batch["spec"]).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "gradient psum missing from compiled HLO"
+    assert "all-gather" in hlo, "negative-pool all-gather missing"
+    assert "all-to-all" not in hlo, "unexpected all-to-all in a pure-DP step"
