@@ -89,8 +89,31 @@ def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 22
             native_mod = native
     except ImportError:
         pass
-    frames = []
     crop = None
+    if (native_mod is not None and len(paths) > 1
+            and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths)):
+        # fused clip path: ONE C++ call decodes+resizes+crops every frame
+        # (no per-frame Python round trip / second header parse; measured
+        # neutral on the 1-core host — decode dominates — but it exposes an
+        # intra-clip thread pool for many-core hosts).  Crop params come
+        # from frame 0's resized geometry exactly as the per-frame path
+        # computes them (same rng draw, same rounding), so the output is
+        # bit-identical (tests/test_native.py pins it).
+        size0 = native_mod.jpeg_size(paths[0])
+        if size0 is not None:
+            h0, w0 = size0
+            if w0 < h0:
+                rh, rw = max(1, round(h0 * target / w0)), target
+            else:
+                rh, rw = target, max(1, round(w0 * target / h0))
+            crop = host_random_crop_params(rng, rh, rw, image_size)
+            clip = native_mod.decode_clip_train(paths, target, image_size,
+                                                crop[0], crop[1], scaled=True)
+            if clip is not None:
+                return clip
+            # fall through to the per-frame path, KEEPING the drawn crop
+            # (the rng stream must not depend on which path succeeded)
+    frames = []
     for p in paths:
         arr = None
         if native_mod is not None and str(p).lower().endswith((".jpg", ".jpeg")):

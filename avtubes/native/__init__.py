@@ -97,6 +97,11 @@ def _bind(lib) -> None:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.avt_decode_clip_train.restype = ctypes.c_int
+    lib.avt_decode_clip_train.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
     lib.avt_log_spec_i16.restype = ctypes.c_int
     lib.avt_log_spec_i16.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
@@ -142,6 +147,26 @@ def decode_wav_batch(paths: list[str | Path], seconds: int, out_len: int,
         arr, n, seconds, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_len, rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
     return out, rates
+
+
+def decode_clip_train(paths: list[str | Path], short_side: int, crop: int,
+                      top: int, left: int, threads: int = 1,
+                      scaled: bool = True) -> np.ndarray | None:
+    """Fused training-clip decode: every frame -> decode + shortest-side
+    bicubic resize + the SAME (top, left) crop window, one C++ call, output
+    (n, crop, crop, 3) uint8.  None when the library is unavailable or any
+    frame fails (caller falls back to the per-frame Python path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, crop, crop, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    good = lib.avt_decode_clip_train(
+        arr, n, short_side, crop, top, left,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads,
+        int(scaled))
+    return out if good == n else None
 
 
 def log_spectrogram_i16(wav: np.ndarray, samplerate: int, nperseg: int,

@@ -680,6 +680,64 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
   return 1;
 }
 
+// Fused TRAINING-CLIP decode: all frames of one clip through decode +
+// shortest-side resize + ONE SHARED random crop (top, left chosen by the
+// caller from the first frame's resized geometry, keeping the Python rng
+// stream identical), written straight into the (n, crop, crop, 3) output —
+// no per-frame Python round trip, no second header parse, no crop/stack
+// copies.  Frames whose resized extent doesn't cover the crop window
+// zero-fill the uncovered border (same as the center-crop path).
+// Returns the number of successfully decoded frames (== n means clean).
+int avt_decode_clip_train(const char** paths, int n, int short_side,
+                          int crop, int top, int left, uint8_t* out,
+                          int threads, int scaled) {
+  if (crop <= 0 || n <= 0) return 0;
+  std::atomic<int> next(0), good(0);
+  auto work = [&]() {
+    std::vector<uint8_t> full, resized;
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      uint8_t* dst = out + static_cast<size_t>(i) * crop * crop * 3;
+      int h = 0, w = 0, oh = 0, ow = 0;
+      if (!decode_jpeg_to(paths[i], &full, &h, &w,
+                          scaled ? short_side : 0, &oh, &ow))
+        continue;
+      int rh, rw;  // target dims from ORIGINAL geometry (same math as
+      if (ow < oh) {  // avt_decode_jpeg_shortest / host_resize_shortest)
+        rw = short_side;
+        rh = std::max(1, static_cast<int>(std::nearbyint(
+            static_cast<double>(oh) * short_side / ow)));
+      } else {
+        rh = short_side;
+        rw = std::max(1, static_cast<int>(std::nearbyint(
+            static_cast<double>(ow) * short_side / oh)));
+      }
+      resized.resize(static_cast<size_t>(rh) * rw * 3);
+      resize_cubic_hwc(full.data(), h, w, resized.data(), rh, rw);
+      const int ch = std::min(crop, std::max(0, rh - top));
+      const int cw = std::min(crop, std::max(0, rw - left));
+      if (ch < crop || cw < crop)
+        memset(dst, 0, static_cast<size_t>(crop) * crop * 3);
+      for (int y = 0; y < ch; ++y)
+        memcpy(dst + static_cast<size_t>(y) * crop * 3,
+               resized.data() + (static_cast<size_t>(top + y) * rw + left) * 3,
+               static_cast<size_t>(cw) * 3);
+      good.fetch_add(1);
+    }
+  };
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int t = std::max(1, std::min({threads, n, hw > 0 ? hw : 1}));
+  if (t == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    for (int k = 0; k < t; ++k) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return good.load();
+}
+
 // Batch fused decode+resize+center-crop to (crop, crop): out is
 // (n, crop, crop, 3) row-major; ok[i] = 1 on success.
 void avt_decode_jpeg_shortest_batch(const char** paths, int n, int short_side,

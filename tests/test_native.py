@@ -222,3 +222,33 @@ def test_decode_wav_spec_batch(tmp_path):
             prepared = np.pad(prepared, (0, 8000 - prepared.shape[0]))
         ref = quantize_int16_spectrogram(log_spectrogram_np_f32(prepared, cfg))
         assert np.abs(out[i].astype(np.int32) - ref.astype(np.int32)).max() <= 2
+
+
+def test_decode_clip_train_matches_per_frame_path(tmp_path):
+    """Fused clip decode == the per-frame decode+shared-crop path, frame for
+    frame (same crop window, same resize), incl. the rng draw sequence."""
+    from PIL import Image
+
+    from avtubes.data.transforms import host_load_train_clip
+
+    rng_img = np.random.RandomState(0)
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(rng_img.randint(0, 256, (120, 160, 3), np.uint8)).save(
+            p, quality=92)
+        paths.append(p)
+
+    fused = host_load_train_clip(paths, np.random.RandomState(7), 96)
+    # force the per-frame path: make the fused call decline so the loader
+    # falls through (the drawn crop must be reused, not re-drawn)
+    import avtubes.native as native_mod
+
+    orig = native_mod.decode_clip_train
+    native_mod.decode_clip_train = lambda *a, **k: None  # fused declines
+    try:
+        per_frame = host_load_train_clip(paths, np.random.RandomState(7), 96)
+    finally:
+        native_mod.decode_clip_train = orig
+    assert fused.shape == per_frame.shape == (4, 96, 96, 3)
+    np.testing.assert_array_equal(fused, per_frame)
