@@ -36,15 +36,17 @@ from avtubes.models.flownet import FlowNetLite
 from avtubes.ops.warp import flow_warp
 from avtubes.train.hardway import build_model, build_sources
 from avtubes.train.state import create_train_state
+from avtubes.train.steps import pytree_group_norms
 from avtubes.utils.logging import MetricLogger
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("flow_loss_weight", "spec_cfg", "image_size"),
+                   static_argnames=("flow_loss_weight", "spec_cfg",
+                                    "image_size", "watch"),
                    donate_argnums=(0,))
 def flow_fused_train_step(state, flow_variables, clips_uint8, waveforms, key,
                           spec_cfg, flow_loss_weight: float = 0.0,
-                          image_size: int = 224):
+                          image_size: int = 224, watch: bool = False):
     """Whole flow step in one program: spectrogram + augmentation + flow
     estimation + hard-way CE (+ gated warp consistency) + update."""
     from avtubes.data.spectrogram import log_spectrogram
@@ -52,13 +54,14 @@ def flow_fused_train_step(state, flow_variables, clips_uint8, waveforms, key,
 
     spec = log_spectrogram(waveforms, spec_cfg)[..., None]
     v1, _ = augment_train_batch(key, clips_uint8, image_size)
-    return flow_train_step(state, flow_variables, v1, spec, flow_loss_weight)
+    return flow_train_step(state, flow_variables, v1, spec, flow_loss_weight,
+                           watch)
 
 
-@functools.partial(jax.jit, static_argnames=("flow_loss_weight",),
+@functools.partial(jax.jit, static_argnames=("flow_loss_weight", "watch"),
                    donate_argnums=(0,))
 def flow_train_step(state, flow_variables, frames, spec,
-                    flow_loss_weight: float = 0.0):
+                    flow_loss_weight: float = 0.0, watch: bool = False):
     """frames (B,T,H,W,3), spec (B,F,Tt,1); flow net frozen within the step."""
     b, t = frames.shape[:2]
     frames_f = frames.reshape(b * t, *frames.shape[2:])
@@ -95,6 +98,9 @@ def flow_train_step(state, flow_variables, frames, spec,
     grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
+    if watch:
+        metrics.update(pytree_group_norms(grads, "grad_norm"))
+        metrics.update(pytree_group_norms(state.params, "param_norm"))
     return state, metrics
 
 
@@ -137,6 +143,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
     last: dict = {}
     guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
+    watch = cfg.train.watch_every > 0  # wandb.watch parity (flow.py:124)
     for epoch in range(o.epochs):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 4), epoch)
         step_in_epoch = 0
@@ -147,10 +154,15 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
             state, metrics = flow_fused_train_step(
                 state, flow_variables, batch["clip"], batch["waveform"],
                 jax.random.fold_in(key, step_in_epoch), spec_cfg,
-                flow_loss_weight, d.image_size)
+                flow_loss_weight, d.image_size, watch)
             step_in_epoch += 1
+            norms = {k: v for k, v in metrics.items() if "_norm/" in k}
+            metrics = {k: v for k, v in metrics.items() if "_norm/" not in k}
             logger.log(step=int(state.step), epoch=epoch,
                        **{k: float(v) for k, v in metrics.items()})
+            if watch and step_in_epoch % cfg.train.watch_every == 0:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in norms.items()})
             if guard.preempted:
                 break
         if step_in_epoch:  # an epoch can yield zero batches

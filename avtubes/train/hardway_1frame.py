@@ -59,6 +59,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
     logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
     last: dict = {}
     guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
+    watch = cfg.train.watch_every > 0  # wandb.watch parity (:120)
     for epoch in range(start_epoch, o.epochs):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 3), epoch)
         step_in_epoch = 0
@@ -68,11 +69,16 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
                 break
             state, metrics = hardway_1frame_fused_step(
                 state, batch["clip"][:, 0], batch["waveform"],
-                jax.random.fold_in(key, step_in_epoch), spec_cfg)
+                jax.random.fold_in(key, step_in_epoch), spec_cfg, watch)
             step_in_epoch += 1
+            norms = {k: v for k, v in metrics.items() if "_norm/" in k}
+            metrics = {k: v for k, v in metrics.items() if "_norm/" not in k}
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in metrics.items()})
+            if watch and step_in_epoch % cfg.train.watch_every == 0:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in norms.items()})
             if guard.preempted:
                 break
         if step_in_epoch:  # an epoch can yield zero batches

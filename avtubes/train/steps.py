@@ -102,11 +102,12 @@ def hardway_train_step(
     return state, metrics
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("watch",), donate_argnums=(0,))
 def hardway_1frame_train_step(
     state: AVTrainState,
     frames: jnp.ndarray,   # (B, H, W, 3) single middle frame
     spec: jnp.ndarray,     # (B, F, Tt, 1)
+    watch: bool = False,
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """Plain hard-way CE, single frame (`train_hardway_1frame.py:131` semantics)."""
 
@@ -121,6 +122,9 @@ def hardway_1frame_train_step(
     grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
+    if watch:
+        metrics.update(pytree_group_norms(grads, "grad_norm"))
+        metrics.update(pytree_group_norms(state.params, "param_norm"))
     return state, metrics
 
 
@@ -182,11 +186,12 @@ def hardway_multi_step(
     return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("watch",), donate_argnums=(0,))
 def train3d_step(
     state: AVTrainState,
     video: jnp.ndarray,    # (B, T, H, W, 3) clip
     spec: jnp.ndarray,     # (B, F, Tt, 1) per-clip log-spectrogram
+    watch: bool = False,
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """3D tube training: hard-way CE over (b·t); NP-ratio logged, not
     backpropagated (working-path semantics of `train_3D.py:126-139`, where
@@ -213,16 +218,21 @@ def train3d_step(
     grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
+    if watch:
+        metrics.update(pytree_group_norms(grads, "grad_norm"))
+        metrics.update(pytree_group_norms(state.params, "param_norm"))
     return state, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("spec_cfg",), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("spec_cfg", "watch"),
+                   donate_argnums=(0,))
 def hardway_1frame_fused_step(
     state: AVTrainState,
     frames_uint8: jnp.ndarray,  # (B, S, S, 3) middle frame, raw uint8
     waveforms: jnp.ndarray,     # (B, num_samples)
     key: jax.Array,
     spec_cfg,
+    watch: bool = False,
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """1-frame step as one program: spectrogram + normalize + random hflip +
     plain hard-way CE update."""
@@ -233,10 +243,10 @@ def hardway_1frame_fused_step(
     frames = normalize_imagenet(frames_uint8)
     keys = jax.random.split(key, frames.shape[0])
     frames = jax.vmap(random_hflip)(keys, frames)
-    return hardway_1frame_train_step(state, frames, spec)
+    return hardway_1frame_train_step(state, frames, spec, watch)
 
 
-@functools.partial(jax.jit, static_argnames=("spec_cfg", "image_size"),
+@functools.partial(jax.jit, static_argnames=("spec_cfg", "image_size", "watch"),
                    donate_argnums=(0,))
 def train3d_fused_step(
     state: AVTrainState,
@@ -245,6 +255,7 @@ def train3d_fused_step(
     key: jax.Array,
     spec_cfg,
     image_size: int = 224,
+    watch: bool = False,
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """3D tube step as one program: spectrogram + view-1 augmentation +
     FullModel fwd/bwd + update."""
@@ -253,7 +264,7 @@ def train3d_fused_step(
 
     spec = log_spectrogram(waveforms, spec_cfg)[..., None]
     v1, _ = augment_train_batch(key, clips_uint8, image_size)
-    return train3d_step(state, v1, spec)
+    return train3d_step(state, v1, spec, watch)
 
 
 @jax.jit

@@ -105,6 +105,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
                 pf_src = PerFrameEvalSource(Path(d.data_path), test_ids, d)
                 gt_lookup = make_gt_lookup_auto(d, per_frame=True)
 
+    watch = cfg.train.watch_every > 0  # wandb.watch parity (train_3D.py:120)
     for epoch in range(start_epoch, o.epochs):
         aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 2), epoch)
         step_in_epoch = 0
@@ -114,11 +115,17 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
                 break
             state, metrics = train3d_fused_step(
                 state, batch["clip"], batch["waveform"],
-                jax.random.fold_in(aug_key, step_in_epoch), spec_cfg, d.image_size)
+                jax.random.fold_in(aug_key, step_in_epoch), spec_cfg,
+                d.image_size, watch)
             step_in_epoch += 1
+            norms = {k: v for k, v in metrics.items() if "_norm/" in k}
+            metrics = {k: v for k, v in metrics.items() if "_norm/" not in k}
             if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in metrics.items()})
+            if watch and step_in_epoch % cfg.train.watch_every == 0:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in norms.items()})
             if guard.preempted:
                 break
         if step_in_epoch:  # an epoch can yield zero batches (all skipped)
