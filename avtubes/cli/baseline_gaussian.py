@@ -28,6 +28,16 @@ def gaussian_heatmap(std: float, size: int = 14) -> np.ndarray:
     return np.outer(g1, g1)
 
 
+def score_gaussian(std: float, ids, gt_lookup) -> tuple[float, float]:
+    """cIoU@0.5 + AUC of the centered-Gaussian prior over `ids` — the
+    sample-independent mask every learned predictor must beat
+    (`test_hardway_dataset.py:70-87`; also the comparison column of
+    `test.py:93,106-107`)."""
+    mask = heatmap_to_mask(gaussian_heatmap(std))
+    cious = np.asarray([ciou_single(mask, gt_lookup(v, None), 0.5) for v in ids])
+    return float(np.mean(cious >= 0.5)), auc_from_ciou(cious)
+
+
 def main(argv=None):
     cfg = ExperimentConfig.from_args(argv)
     d = cfg.data
@@ -41,10 +51,7 @@ def main(argv=None):
     print(f"quoted SOTA (LVS): cIoU {SOTA_CIOU}  AUC {SOTA_AUC}")
     best = (0.0, 0.0, 0)
     for std in range(1, 11):
-        mask = heatmap_to_mask(gaussian_heatmap(std))
-        cious = np.asarray([ciou_single(mask, gt_lookup(v, None), 0.5) for v in ids])
-        ciou = float(np.mean(cious >= 0.5))
-        auc = auc_from_ciou(cious)
+        ciou, auc = score_gaussian(std, ids, gt_lookup)
         print(f"std {std:2d}: cIoU@0.5 {ciou:.4f}  AUC {auc:.4f}")
         if ciou > best[0]:
             best = (ciou, auc, std)

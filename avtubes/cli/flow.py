@@ -20,7 +20,12 @@ def main(argv=None):
     enable_compilation_cache()
     from avtubes.core.distributed import maybe_initialize
 
-    maybe_initialize()  # env-gated multi-host (AVTUBES_COORDINATOR=...)
+    if maybe_initialize():  # env-gated multi-host (AVTUBES_COORDINATOR=...)
+        # only the flagship shards its dataset per process; running this
+        # trainer multi-process would silently train on duplicated data
+        raise SystemExit(
+            "multi-host training is wired for avtubes.cli.train_hardway "
+            "only; run this trainer single-process")
     argv = list(sys.argv[1:] if argv is None else argv)
     weight = 0.0
     if "--flow_loss_weight" in argv:

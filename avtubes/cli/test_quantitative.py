@@ -83,12 +83,15 @@ def main(argv=None):
         loader = BatchLoader(src, batch_size=min(d.eval_batch_size, len(src)),
                              num_workers=d.n_threads,
                              shuffle=False, drop_last=False)
+    evaluated_ids: list = []
     if use_activation:
-        metrics = _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup)
+        metrics = _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup,
+                                            evaluated_ids=evaluated_ids)
     else:
         metrics = evaluate_hardway(state, loader, d, spec_cfg, gt_lookup,
-                                   model_kind=model_kind)
-    metrics.update(_gaussian_column(src, d, gt_lookup))
+                                   model_kind=model_kind,
+                                   evaluated_ids=evaluated_ids)
+    metrics.update(_gaussian_column(evaluated_ids, gt_lookup))
     print(f"Hardway Test cIoU  {metrics['hardway_ciou']}")
     print(f"Hardway Test auc   {metrics['hardway_auc']}")
     print(f"Center-gaussian comparison: cIoU {metrics['gaussian_ciou']:.4f}  "
@@ -96,24 +99,21 @@ def main(argv=None):
     return metrics
 
 
-def _gaussian_column(src, d, gt_lookup):
+def _gaussian_column(evaluated_ids, gt_lookup):
     """Center-Gaussian comparison column (`test.py:93,106-107,144-148`):
     a gkern(14, std=5) prior, upsampled/normalized/median-binarized exactly
-    like a model heatmap, scored against the same GT — the per-sample prior
-    every learned predictor must beat.  Sample-independent, so one mask."""
-    import numpy as np
+    like a model heatmap, scored against the same GT.  Scored over the ids
+    the model eval actually decoded (not the whole split) so the two columns
+    share a denominator — the reference scores the gaussian inside the same
+    loader loop."""
+    from avtubes.cli.baseline_gaussian import score_gaussian
 
-    from avtubes.cli.baseline_gaussian import gaussian_heatmap
-    from avtubes.evaluation import auc_from_ciou, ciou_single, heatmap_to_mask
-
-    mask = heatmap_to_mask(gaussian_heatmap(5.0))
-    ids = getattr(src, "ids", None) or [f"synthetic_{i}" for i in range(len(src))]
-    cious = np.asarray([ciou_single(mask, gt_lookup(v, None), 0.5) for v in ids])
-    return {"gaussian_ciou": float(np.mean(cious >= 0.5)),
-            "gaussian_auc": auc_from_ciou(cious)}
+    ciou, auc = score_gaussian(5.0, evaluated_ids, gt_lookup)
+    return {"gaussian_ciou": ciou, "gaussian_auc": auc}
 
 
-def _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup):
+def _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup,
+                              evaluated_ids: list | None = None):
     """Score both the similarity heatmap and the image-feature channel-mean
     activation map; keep max(ciou) per sample (test.py:102-140)."""
     import numpy as np
@@ -154,6 +154,8 @@ def _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup):
             gt = gt_lookup(vid, None)
             cious.append(max(ciou_single(masks_h[i], gt, 0.5),
                              ciou_single(masks_a[i], gt, 0.5)))
+            if evaluated_ids is not None:
+                evaluated_ids.append(vid)
     cious = np.asarray(cious)
     return {"hardway_ciou": float(np.mean(cious >= 0.5)),
             "hardway_auc": auc_from_ciou(cious), "hardway_n": int(cious.size)}

@@ -26,8 +26,13 @@ def checkpoint_path(summaries_dir: str | Path, tag: str, epoch: int) -> Path:
 
 
 def save_checkpoint(summaries_dir: str | Path, tag: str, epoch: int, state) -> Path:
-    """Write {params, batch_stats, opt_state, step, epoch} to an orbax dir."""
-    path = checkpoint_path(summaries_dir, tag, epoch)
+    """Write {params, batch_stats, opt_state, step, epoch} to an orbax dir.
+
+    Multi-process: the state is fully replicated (data parallelism only),
+    so every process holds an exact local copy — the primary alone converts
+    to host numpy and writes (two processes writing one path on a shared
+    filesystem would race), the rest wait at a barrier.
+    """
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -35,6 +40,18 @@ def save_checkpoint(summaries_dir: str | Path, tag: str, epoch: int, state) -> P
         "step": state.step,
         "epoch": epoch,
     }
+    path = checkpoint_path(summaries_dir, tag, epoch)
+    if jax.process_count() > 1:
+        from avtubes.core.distributed import host_local_state
+
+        # ALL processes call save — orbax's Checkpointer is itself a
+        # collective (internal sync_global_processes barriers) and gates the
+        # actual write to the primary host.  The payload is pulled to host
+        # numpy via local-shard reads first: converting a multi-process
+        # array with np.asarray can initiate a collective the peers never
+        # join, and numpy leaves are what orbax writes primary-only.
+        _checkpointer().save(path, host_local_state(payload), force=True)
+        return path
     _checkpointer().save(path, payload, force=True)
     return path
 

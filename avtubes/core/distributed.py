@@ -56,3 +56,94 @@ def data_shard() -> tuple[int, int] | None:
     if jax.process_count() > 1:
         return (jax.process_index(), jax.process_count())
     return None
+
+
+def is_primary() -> bool:
+    """True on the process that owns side effects (eval, metric logs,
+    qualitative dumps).  Always True single-process."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def barrier(tag: str) -> None:
+    """Cross-process sync point (no-op single-process).  Used to keep
+    non-primary processes alive while the primary runs a local-only stage
+    (eval) or writes artifacts."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def host_local_state(state):
+    """Pull a (fully replicated) train state's arrays to host numpy so a
+    single process can run local-device programs with it (eval on the
+    primary while the pod's other processes wait at a `barrier`), or write
+    a checkpoint without a cross-process collective.
+
+    np.asarray on a multi-process global array can initiate a collective
+    (deadlock when only one process converts); a replicated array's LOCAL
+    shard 0 holds the full value, so reading it is exact and
+    collective-free.
+    """
+    import jax
+    import numpy as np
+
+    if jax.process_count() <= 1:
+        return state
+
+    def to_host(x):
+        if isinstance(x, jax.Array):
+            assert x.is_fully_replicated, (
+                "host_local_state expects replicated arrays (data "
+                f"parallelism only); got sharding {x.sharding}")
+            return np.asarray(x.addressable_shards[0].data)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(to_host, state)
+
+
+def agreed_steps_per_epoch(n_total_ids: int, batch_size: int,
+                           group: int = 1) -> int:
+    """The per-epoch step count EVERY process must dispatch.
+
+    Each global train step is a collective program (gradient psum,
+    negative-pool all-gather): if one process runs fewer steps than its
+    peers — shorter i::n dataset shard, or decode failures skipped by its
+    local loader — the peers block forever inside the collective.  So the
+    count is agreed a priori from the split size (identical on all
+    processes, no communication needed): the smallest shard's full-batch
+    count, floored to a multiple of `group` (grouped steps dispatch
+    `group` batches per program).  Local loaders that come up short against
+    this number recycle their shard (`fixed_count_batches`).
+    """
+    import jax
+
+    nproc = max(1, jax.process_count())
+    min_shard = n_total_ids // nproc  # i::n slicing: every shard has >= this
+    steps = max(1, min_shard // max(1, batch_size))
+    if group > 1:
+        steps = max(group, steps - steps % group)
+    return steps
+
+
+def fixed_count_batches(loader, epoch: int, n_batches: int):
+    """Yield EXACTLY n_batches full batches from loader.epoch(epoch),
+    recycling the local shard when decode failures leave it short (the
+    multi-process contract: every process dispatches the same number of
+    global steps — see `agreed_steps_per_epoch`)."""
+    got = 0
+    while got < n_batches:
+        before = got
+        for batch in loader.epoch(epoch):
+            yield batch
+            got += 1
+            if got >= n_batches:
+                return
+        if got == before:
+            raise RuntimeError(
+                "local dataset shard yielded zero batches — cannot satisfy "
+                f"the agreed {n_batches} steps/epoch")

@@ -34,10 +34,27 @@ def make_mesh(devices=None, axis_names=(DATA_AXIS,), shape=None) -> Mesh:
 
 
 def make_data_mesh(batch_size: int, devices=None) -> Mesh:
-    """1-D data mesh over the most devices that evenly divide batch_size."""
+    """1-D data mesh over the most devices that evenly divide batch_size.
+
+    batch_size is the PER-PROCESS batch (what the local loader feeds).
+    Multi-process, the mesh must hold devices from EVERY process — a
+    front-slice like devices[:n] would leave peer processes with zero
+    addressable shards (their `replicate`/`shard_batch` would fail) — so
+    the same number of devices is taken from each process, in process
+    order (the layout `make_array_from_process_local_data` expects).
+    """
     if devices is None:
         default = jax.config.jax_default_device
         devices = jax.devices(default.platform) if default is not None else jax.devices()
+    if jax.process_count() > 1:
+        by_proc: dict[int, list] = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        per = min(len(v) for v in by_proc.values())
+        while per > 1 and batch_size % per:
+            per -= 1
+        chosen = [d for pid in sorted(by_proc) for d in by_proc[pid][:per]]
+        return make_mesh(chosen)
     n = len(devices)
     while n > 1 and batch_size % n:
         n -= 1

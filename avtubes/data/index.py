@@ -24,11 +24,16 @@ def resolve_metadata_dir(metadata_dir: str | Path) -> Path:
 
     The CLIs default to a CWD-relative ``metadata``; when that doesn't exist
     (fresh clone run from anywhere) the repo's vendored split CSVs +
-    vggss.json are used, so `load_split` works out of the box.
+    vggss.json are used, so `load_split` works out of the box.  The fallback
+    applies ONLY to that default value — an explicitly supplied directory
+    that doesn't exist is an error (silently substituting the vendored
+    benchmark splits would mask a typo'd ``--metadata_dir``).
     """
     metadata_dir = Path(metadata_dir)
-    if not metadata_dir.is_dir() and VENDORED_METADATA.is_dir():
-        return VENDORED_METADATA
+    if not metadata_dir.is_dir():
+        if str(metadata_dir) == "metadata" and VENDORED_METADATA.is_dir():
+            return VENDORED_METADATA
+        raise FileNotFoundError(f"metadata dir not found: {metadata_dir}")
     return metadata_dir
 
 

@@ -180,6 +180,17 @@ def log_spectrogram_i16(wav: np.ndarray, samplerate: int, nperseg: int,
     if lib is None:
         return None
     wav = np.ascontiguousarray(wav, np.float32)
+    # the C side derives the frame count from the waveform length and writes
+    # that many columns — an unprepared (longer) waveform would run past the
+    # allocation below.  Fail loudly instead: a length mismatch is a caller
+    # bug (waveforms must be prepared to cfg.num_samples first).
+    hop = nperseg - noverlap
+    derived = (wav.shape[0] - nperseg) // hop + 1 if hop > 0 else -1
+    if derived != num_frames:
+        raise ValueError(
+            f"waveform length {wav.shape[0]} yields {derived} STFT frames, "
+            f"but the output is allocated for {num_frames}; prepare the "
+            "waveform to the configured num_samples first")
     out = np.empty((num_freqs, num_frames), np.int16)
     ok = lib.avt_log_spec_i16(
         wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), wav.shape[0],
@@ -198,6 +209,12 @@ def decode_wav_spec_batch(paths: list[str | Path], seconds: int, wav_len: int,
     if lib is None:
         return None
     n = len(paths)
+    hop = nperseg - noverlap
+    derived = (wav_len - nperseg) // hop + 1 if hop > 0 else -1
+    if derived != num_frames:
+        raise ValueError(
+            f"wav_len {wav_len} yields {derived} STFT frames, but the "
+            f"output is allocated for {num_frames}")
     out = np.empty((n, num_freqs, num_frames), np.int16)
     rates = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])

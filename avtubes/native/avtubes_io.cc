@@ -685,8 +685,10 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
 // caller from the first frame's resized geometry, keeping the Python rng
 // stream identical), written straight into the (n, crop, crop, 3) output —
 // no per-frame Python round trip, no second header parse, no crop/stack
-// copies.  Frames whose resized extent doesn't cover the crop window
-// zero-fill the uncovered border (same as the center-crop path).
+// copies.  A frame whose resized extent doesn't cover the crop window
+// (aspect ratio changed mid-clip — corrupt source) counts as FAILED: the
+// caller falls back to the per-frame path, which raises on the short slice
+// and the sample is skip-and-counted, never silently zero-padded.
 // Returns the number of successfully decoded frames (== n means clean).
 int avt_decode_clip_train(const char** paths, int n, int short_side,
                           int crop, int top, int left, uint8_t* out,
@@ -714,14 +716,11 @@ int avt_decode_clip_train(const char** paths, int n, int short_side,
       }
       resized.resize(static_cast<size_t>(rh) * rw * 3);
       resize_cubic_hwc(full.data(), h, w, resized.data(), rh, rw);
-      const int ch = std::min(crop, std::max(0, rh - top));
-      const int cw = std::min(crop, std::max(0, rw - left));
-      if (ch < crop || cw < crop)
-        memset(dst, 0, static_cast<size_t>(crop) * crop * 3);
-      for (int y = 0; y < ch; ++y)
+      if (rh - top < crop || rw - left < crop) continue;  // geometry mismatch
+      for (int y = 0; y < crop; ++y)
         memcpy(dst + static_cast<size_t>(y) * crop * 3,
                resized.data() + (static_cast<size_t>(top + y) * rw + left) * 3,
-               static_cast<size_t>(cw) * 3);
+               static_cast<size_t>(crop) * 3);
       good.fetch_add(1);
     }
   };

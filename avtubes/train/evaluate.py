@@ -108,12 +108,17 @@ def bucket_len(n: int, buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> int:
 
 def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
                      gt_lookup, epoch: int = 0, logger=None,
-                     record: int = 0, model_kind: str = "2d") -> dict[str, float]:
+                     record: int = 0, model_kind: str = "2d",
+                     evaluated_ids: list | None = None) -> dict[str, float]:
     """249-image hard-way test: cIoU@0.5 + AUC (`train_hardway.py:208-239`).
 
     record > 0 dumps overlay JPEGs (frame + GT/pred JET compositing) for the
     first `record` samples via logger.log_image — the reference's
     record_qualitative path (`train_hardway.py:70-78`).
+
+    evaluated_ids, when given, collects the id of every sample actually
+    scored (the loader skip-and-counts decode failures, so this can be a
+    subset of the split) — comparison baselines must score the same set.
     """
     from avtubes.utils.visual import overlay_heatmap
 
@@ -132,6 +137,8 @@ def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramC
         for i, vid in enumerate(batch["id"]):
             gt = gt_lookup(vid, None)
             cious.append(ciou_single(masks[i], gt, 0.5))
+            if evaluated_ids is not None:
+                evaluated_ids.append(vid)
             if logger is not None and recorded < record:
                 logger.log_image(f"{vid}_hardway",
                                  overlay_heatmap(batch["frame"][i], masks[i], gt),

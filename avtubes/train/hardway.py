@@ -48,16 +48,19 @@ def build_sources(cfg: ExperimentConfig):
     if d.synthetic:
         train_src = SyntheticSource(d, n=max(4 * cfg.optim.batch_size, 8))
         test_src = SyntheticSource(d, n=8, clip=False, seed=1)
-        return train_src, test_src
+        return train_src, test_src, len(train_src)
     from avtubes.core.distributed import data_shard
 
-    # multi-host: each host loads its slice (None when single-process)
-    train_ids = load_split(d.metadata_dir, d.testset, "train", d.subset,
-                           shard=data_shard())
+    # multi-host: each host loads its slice (None when single-process).
+    # The full split is read first so every process knows the total id
+    # count — the agreed steps-per-epoch derives from it (see run()).
+    all_train_ids = load_split(d.metadata_dir, d.testset, "train", d.subset)
+    shard = data_shard()
+    train_ids = all_train_ids[shard[0]::shard[1]] if shard else all_train_ids
     test_ids = load_split(d.metadata_dir, d.testset, "test_hardway")
     train_src = ClipTrainSource(d.data_path, train_ids, d)
     test_src = HardwayTestSource(d.og_data_path or d.data_path, test_ids, d)
-    return train_src, test_src
+    return train_src, test_src, len(all_train_ids)
 
 
 def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
@@ -75,10 +78,25 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
     model = build_model(cfg)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
 
-    train_src, test_src = build_sources(cfg)
+    from avtubes.core.distributed import (agreed_steps_per_epoch, barrier,
+                                          fixed_count_batches, host_local_state,
+                                          is_primary)
+
+    multiproc = jax.process_count() > 1
+    group = max(1, cfg.train.group_steps)
+    train_src, test_src, n_train_total = build_sources(cfg)
     loader = BatchLoader(train_src, o.batch_size, num_workers=d.n_threads,
                          shuffle=True, seed=cfg.train.seed)
-    steps_per_epoch = max(1, len(loader) if steps_cap == 0 else min(len(loader), steps_cap))
+    if multiproc:
+        # every process must dispatch the same number of collective steps;
+        # derive it from the split size, not the local loader (whose yield
+        # varies with shard remainders and decode failures)
+        steps_per_epoch = agreed_steps_per_epoch(n_train_total, o.batch_size, group)
+        if steps_cap:
+            steps_per_epoch = min(steps_per_epoch, steps_cap)
+    else:
+        steps_per_epoch = max(1, len(loader) if steps_cap == 0
+                              else min(len(loader), steps_cap))
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     init_img = jnp.zeros((2, d.image_size, d.image_size, 3))
@@ -104,10 +122,10 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             start_epoch += 1
             print(f"[train] resumed from {ckpt} at epoch {start_epoch}")
 
-    logger = MetricLogger(cfg.train.summaries_dir, run_name=tag)
+    logger = MetricLogger(cfg.train.summaries_dir, run_name=tag,
+                          enabled=is_primary())
     guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
     last_metrics: dict = {}
-    group = max(1, cfg.train.group_steps)
     # wandb.watch parity (`train_hardway.py:119`): compute per-layer
     # grad/param norms inside the step program, emit them every watch_every
     # steps.  watch is static, so enabling it compiles one (slightly larger)
@@ -123,7 +141,12 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
         aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 1), epoch)
         step_in_epoch = 0
         pending: list = []
-        for batch in device_prefetch(loader.epoch(epoch), depth=d.prefetch,
+        # multi-process: yield EXACTLY the agreed batch count (recycling the
+        # local shard if decode failures leave it short) so every process
+        # dispatches the same collective programs
+        batches = (fixed_count_batches(loader, epoch, steps_per_epoch)
+                   if multiproc else loader.epoch(epoch))
+        for batch in device_prefetch(batches, depth=d.prefetch,
                                      put=lambda x: shard_batch(mesh, x)):
             if steps_cap and step_in_epoch >= steps_cap:
                 break
@@ -154,23 +177,41 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
             if watch and step_in_epoch % cfg.train.watch_every < group:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in norms.items()})
-            if guard.preempted:
+            if guard.preempted and not multiproc:
+                # multi-process: breaking mid-epoch on one process would
+                # strand its peers inside the next collective — preemption
+                # is agreed at the epoch boundary below instead
                 break
         if step_in_epoch:  # an epoch can yield zero batches (all skipped)
             last_metrics = {k: float(v) for k, v in metrics.items()}
         if loader.epoch_skipped:
             logger.log(step=int(state.step), epoch=epoch,
                        epoch_skipped=loader.epoch_skipped)
+        if multiproc:
+            # consensus: preempt everywhere if ANY process caught a signal
+            from jax.experimental import multihost_utils
+
+            import numpy as np
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([guard.preempted], np.int32))
+            guard.preempted = bool(np.any(flags))
         if guard.preempted:
-            # save under the PREVIOUS epoch number: this epoch is partial,
-            # resume re-runs it from the top
-            save_checkpoint(cfg.train.summaries_dir, tag, epoch - 1, state)
-            # (epoch-1 may be -1: a resume then restarts at epoch 0 —
-            # max()ing to 0 would mark the partial epoch 0 as complete)
+            # single-process breaks mid-epoch: save under the PREVIOUS epoch
+            # number, resume re-runs the partial epoch from the top (epoch-1
+            # may be -1: a resume then restarts at epoch 0 — max()ing to 0
+            # would mark the partial epoch 0 as complete).  Multi-process
+            # reaches here only at the boundary, so this epoch is complete.
+            save_checkpoint(cfg.train.summaries_dir, tag,
+                            epoch if multiproc else epoch - 1, state)
             print(f"[train] preempted during epoch {epoch}; checkpoint saved")
             break
 
-        if do_eval:
+        if do_eval and is_primary():
+            # multi-process: the primary alone evaluates (the loaders/jits
+            # here are process-local programs) with a host-local copy of the
+            # replicated state; peers wait at the barrier below
+            eval_state = host_local_state(state) if multiproc else state
             if isinstance(test_src, HardwayTestSource):
                 # per-sample decode by default; AVTUBES_EVAL_LOADER=batched
                 # opts into the one-C++-call-per-batch mode (many-core hosts)
@@ -185,8 +226,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                                           batch_size=min(d.eval_batch_size, len(test_src)),
                                           num_workers=d.n_threads, shuffle=False,
                                           drop_last=False)
-            eval_metrics = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,
-                                            epoch=epoch, logger=logger,
+            eval_metrics = evaluate_hardway(eval_state, test_loader, d, spec_cfg,
+                                            gt_lookup, epoch=epoch, logger=logger,
                                             record=cfg.train.record_qualitative)
             last_metrics.update(eval_metrics)
             logger.log(step=int(state.step), epoch=epoch, **eval_metrics)
@@ -204,11 +245,14 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                 if (video_root / "videos").exists():
                     pf_src = PerFrameEvalSource(video_root, test_ids, d)
                     pf = evaluate_perframe(
-                        state, pf_src, d, spec_cfg,
+                        eval_state, pf_src, d, spec_cfg,
                         pf_gt_lookup, logger=logger,
                         record=cfg.train.record_qualitative, epoch=epoch)
                     last_metrics.update(pf)
                     logger.log(step=int(state.step), epoch=epoch, **pf)
+
+        if do_eval and multiproc:
+            barrier(f"avtubes_eval_ep{epoch}")  # peers wait out primary eval
 
         if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
             save_checkpoint(cfg.train.summaries_dir, tag, epoch, state)

@@ -17,8 +17,14 @@ from typing import Any
 
 class MetricLogger:
     def __init__(self, summaries_dir: str | Path | None = None, run_name: str = "run",
-                 use_wandb: bool = False, config: dict[str, Any] | None = None):
+                 use_wandb: bool = False, config: dict[str, Any] | None = None,
+                 enabled: bool = True):
+        # multi-process runs pass enabled=is_primary(): one process owns the
+        # JSONL/wandb/stdout stream (N processes appending one file interleave)
+        self.enabled = enabled
         self.path = None
+        if not enabled:
+            summaries_dir, use_wandb = None, False
         if summaries_dir:
             d = Path(summaries_dir)
             d.mkdir(parents=True, exist_ok=True)
@@ -36,6 +42,8 @@ class MetricLogger:
         self._t0 = time.time()
 
     def log(self, step: int | None = None, **metrics: Any) -> None:
+        if not self.enabled:
+            return
         rec = {"t": round(time.time() - self._t0, 3)}
         if step is not None:
             rec["step"] = step

@@ -68,5 +68,41 @@ def main():
     multihost_utils.sync_global_devices("done")
 
 
+def trainer_main():
+    """Mode 2: the ACTUAL flagship trainer end-to-end, 2 processes.
+
+    Exercises the multi-process hardening: agreed steps-per-epoch (both
+    processes dispatch the same collective programs), primary-only metric
+    logging / eval (with host-local state) / checkpoint write, and the
+    epoch-boundary barriers.  Argv: trainer <out_path> <summaries_dir>."""
+    out_path, summaries = sys.argv[2], sys.argv[3]
+    import jax
+
+    from avtubes.core.distributed import maybe_initialize
+
+    assert maybe_initialize(), "expected multi-process env"
+    from avtubes.core.config import ExperimentConfig
+    from avtubes.train.hardway import run
+
+    cfg = ExperimentConfig.from_args([
+        "--synthetic", "--epochs", "1", "--batch_size", "2",
+        "--frame_density", "2", "--image_size", "64",
+        "--summaries_dir", summaries, "--n_threads", "1",
+    ])
+    metrics = run(cfg, steps_cap=2, tag="mh")
+    if jax.process_index() == 0:
+        with open(out_path, "w") as f:
+            json.dump({"ok": True,
+                       "loss": float(metrics.get("loss", -1.0)),
+                       "hardway_ciou": float(metrics.get("hardway_ciou", -1.0))},
+                      f)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("trainer_done")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "trainer":
+        trainer_main()
+    else:
+        main()

@@ -5,6 +5,8 @@ vggss.json 5,158 entries — SURVEY.md §2.8)."""
 
 import json
 
+import pytest
+
 from avtubes.data.index import VENDORED_METADATA, load_split, resolve_metadata_dir
 
 
@@ -26,10 +28,16 @@ def test_vggss_json_vendored():
     assert {"file", "class", "bbox"} <= set(entries[0])
 
 
-def test_missing_dir_falls_back_to_vendored(tmp_path):
-    # the CLIs default to CWD-relative "metadata"; a nonexistent dir resolves
-    # to the vendored copy so load_split works out of the box
-    assert resolve_metadata_dir(tmp_path / "nope") == VENDORED_METADATA
+def test_missing_dir_falls_back_to_vendored(tmp_path, monkeypatch):
+    # the CLIs default to CWD-relative "metadata"; when THAT DEFAULT doesn't
+    # exist (fresh clone run from anywhere) it resolves to the vendored copy
+    # so load_split works out of the box
+    monkeypatch.chdir(tmp_path)
+    assert resolve_metadata_dir("metadata") == VENDORED_METADATA
     assert resolve_metadata_dir(tmp_path) == tmp_path  # existing dirs win
-    ids = load_split(tmp_path / "nope", "flickr", "test_hardway")
+    ids = load_split("metadata", "flickr", "test_hardway")
     assert len(ids) == 249 and ids[0] == "10000130166"
+    # an EXPLICIT nonexistent dir is an error (silent fallback to the
+    # vendored benchmark splits would mask a typo'd --metadata_dir)
+    with pytest.raises(FileNotFoundError):
+        resolve_metadata_dir(tmp_path / "nope")

@@ -96,3 +96,72 @@ def test_two_process_step_matches_single_process(tmp_path):
         (result["loss"], loss_ref)
     assert np.isclose(result["param_sq"], param_sq_ref, rtol=1e-6), \
         (result["param_sq"], param_sq_ref)
+
+
+def test_agreed_steps_per_epoch_math():
+    """Single-process semantics + the multiple-of-group floor (the unit the
+    2-process trainer test below relies on)."""
+    from avtubes.core.distributed import agreed_steps_per_epoch
+
+    # single process: min_shard == total
+    assert agreed_steps_per_epoch(100, 10) == 10
+    assert agreed_steps_per_epoch(99, 10) == 9      # drop_last
+    assert agreed_steps_per_epoch(5, 10) == 1       # never zero
+    assert agreed_steps_per_epoch(100, 10, group=4) == 8  # floor to group
+    assert agreed_steps_per_epoch(30, 10, group=5) == 5   # at least group
+
+
+def test_fixed_count_batches_recycles_short_shards():
+    """A loader whose epoch comes up short (decode failures) is recycled
+    until the agreed count is met; a dead loader raises instead of spinning."""
+    from avtubes.core.distributed import fixed_count_batches
+
+    class ShortLoader:
+        def __init__(self, per_epoch):
+            self.per_epoch = per_epoch
+            self.epochs_started = 0
+
+        def epoch(self, e):
+            self.epochs_started += 1
+            yield from range(self.per_epoch)
+
+    lo = ShortLoader(3)
+    got = list(fixed_count_batches(lo, 0, 7))
+    assert len(got) == 7 and lo.epochs_started == 3  # 3 + 3 + 1
+
+    dead = ShortLoader(0)
+    with pytest.raises(RuntimeError):
+        list(fixed_count_batches(dead, 0, 2))
+
+
+@pytest.mark.slow
+def test_two_process_trainer_end_to_end(tmp_path):
+    """The REAL flagship trainer under 2 processes: agreed step counts (no
+    collective deadlock), primary-only eval/logging/checkpointing — exactly
+    one metrics stream and one checkpoint dir, no write races."""
+    port = _free_port()
+    out = tmp_path / "trainer0.json"
+    summaries = [tmp_path / "sum0", tmp_path / "sum1"]
+    worker = REPO / "tests" / "multihost_worker.py"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), "trainer", str(out), str(summaries[pid])],
+        env=_worker_env(port, pid),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=900)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"trainer worker failed:\n{log[-4000:]}"
+    result = json.loads(out.read_text())
+    assert result["ok"] and result["loss"] > 0
+    assert 0.0 <= result["hardway_ciou"] <= 1.0  # primary ran eval
+
+    # primary-only side effects: process 1's summaries dir has no metrics
+    # stream and no checkpoint (each process got its own dir, so any file
+    # in dir 1 would be a gating bug)
+    assert (summaries[0] / "mh.metrics.jsonl").exists()
+    assert list(summaries[0].glob("mh_ep*")), "primary wrote no checkpoint"
+    assert not (summaries[1] / "mh.metrics.jsonl").exists()
+    assert not list(summaries[1].glob("mh_ep*"))

@@ -252,3 +252,31 @@ def test_decode_clip_train_matches_per_frame_path(tmp_path):
         native_mod.decode_clip_train = orig
     assert fused.shape == per_frame.shape == (4, 96, 96, 3)
     np.testing.assert_array_equal(fused, per_frame)
+
+
+def test_decode_clip_train_geometry_mismatch_fails_not_zerofills(tmp_path):
+    """A clip whose frames change aspect ratio mid-clip (corrupt source) can
+    draw a frame-0 crop window that a later frame's resized extent doesn't
+    cover.  The fused path must FAIL that frame (return None -> per-frame
+    fallback raises -> sample skip-and-counted), never silently train on
+    zero-padded black borders."""
+    from PIL import Image
+
+    rng_img = np.random.RandomState(3)
+    paths = []
+    # frame 0: tall 480x120 -> resized (w=106 short side) h~424: crop rows
+    # can be drawn far down; frame 1: square 120x120 -> resized 106x106
+    for i, (h, w) in enumerate([(480, 120), (120, 120), (480, 120), (480, 120)]):
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(rng_img.randint(0, 256, (h, w, 3), np.uint8)).save(
+            p, quality=92)
+        paths.append(p)
+
+    # crop drawn beyond frame 1's 106-row extent: top=200
+    out = native.decode_clip_train(paths, 106, 96, 200, 5, scaled=True)
+    assert out is None  # frame 1 failed -> good != n -> decline
+
+    # a window every frame covers still succeeds
+    out = native.decode_clip_train(paths, 106, 96, 5, 5, scaled=True)
+    assert out is not None and out.shape == (4, 96, 96, 3)
+    assert out.min() != out.max()  # real pixels, not zero fill
