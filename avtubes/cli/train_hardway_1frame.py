@@ -12,14 +12,9 @@ def main(argv=None):
     from avtubes.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from avtubes.core.distributed import maybe_initialize
+    from avtubes.core.distributed import require_single_process
 
-    if maybe_initialize():  # env-gated multi-host (AVTUBES_COORDINATOR=...)
-        # only the flagship shards its dataset per process; running this
-        # trainer multi-process would silently train on duplicated data
-        raise SystemExit(
-            "multi-host training is wired for avtubes.cli.train_hardway "
-            "only; run this trainer single-process")
+    require_single_process()  # env-gated multi-host is flagship-only
     cfg = ExperimentConfig.from_args(argv)
     metrics = run(cfg, steps_cap=cfg.train.steps_cap)
     print("final:", metrics)

@@ -28,6 +28,10 @@ class DataConfig:
     samplerate: int = 22050
     audio_seconds: int = 10
     n_threads: int = 5                 # host decode workers
+    clip_decode_threads: int = 1       # intra-clip threads of the fused C++
+                                       # clip decode; raise on many-core
+                                       # hosts when n_threads alone doesn't
+                                       # saturate (threads multiply!)
     audio_transport: str = "int16"     # what the host ships to the device:
                                        # 'float32' raw waveform; 'int16' PCM
                                        #   waveform (lossless for 16-bit
@@ -109,6 +113,9 @@ class ExperimentConfig:
         p.add_argument("--learning_rate", default=4e-6, type=float)
         p.add_argument("--weight_decay", default=1e-4, type=float)
         p.add_argument("--n_threads", default=5, type=int)
+        p.add_argument("--clip_decode_threads", default=1, type=int,
+                       help="intra-clip threads of the fused C++ clip decode "
+                            "(many-core hosts; multiplies with --n_threads)")
         p.add_argument("--epochs", default=20, type=int)
         p.add_argument("--frame_density", default=16, type=int)
         p.add_argument("--sampling_rate", default=16, type=int)
@@ -147,6 +154,7 @@ class ExperimentConfig:
                 gt_path=a.gt_path, og_gt_path=a.og_gt_path, metadata_dir=a.metadata_dir,
                 image_size=a.image_size, frame_density=a.frame_density,
                 sampling_rate=a.sampling_rate, subset=a.subset, n_threads=a.n_threads,
+                clip_decode_threads=a.clip_decode_threads,
                 samplerate=a.samplerate, audio_seconds=a.audio_seconds,
                 audio_transport=a.audio_transport, synthetic=a.synthetic,
                 eval_batch_size=a.eval_batch_size,

@@ -58,6 +58,17 @@ def data_shard() -> tuple[int, int] | None:
     return None
 
 
+def require_single_process() -> None:
+    """Initialize-from-env, then refuse multi-process: only the flagship
+    trainer shards its dataset per process — any other trainer run
+    multi-process would silently train on duplicated data.  Called by every
+    non-flagship CLI entry point."""
+    if maybe_initialize():
+        raise SystemExit(
+            "multi-host training is wired for avtubes.cli.train_hardway "
+            "only; run this trainer single-process")
+
+
 def is_primary() -> bool:
     """True on the process that owns side effects (eval, metric logs,
     qualitative dumps).  Always True single-process."""

@@ -137,7 +137,8 @@ class ClipTrainSource:
                 paths = [frame_dir / "8.jpg"]
             else:
                 paths = [frame_dir / f"{i}.jpg" for i in range(t)]
-            clip = host_load_train_clip(paths, rng, self.cfg.image_size)
+            clip = host_load_train_clip(paths, rng, self.cfg.image_size,
+                                        threads=self.cfg.clip_decode_threads)
             wav = load_prepared_wav(self.root / "audio" / f"{vid}.wav", self.cfg)
         except (OSError, ValueError) as e:
             raise SkippedSampleError(f"{vid}: {e}") from e

@@ -133,6 +133,14 @@ def log_spectrogram_np_f32(x: np.ndarray,
     worth it on thin host->device links)."""
     fcount, nperseg, hop = cfg.num_frames, cfg.nperseg, cfg.hop
     x = np.ascontiguousarray(x, np.float32)
+    needed = (fcount - 1) * hop + nperseg
+    if x.shape[-1] < needed:
+        # as_strided would silently read past the buffer — a short waveform
+        # is a caller bug (prepare to cfg.num_samples first), same contract
+        # as the native wrapper
+        raise ValueError(
+            f"waveform length {x.shape[-1]} < {needed} required for "
+            f"{fcount} frames; prepare to cfg.num_samples first")
     frames = np.lib.stride_tricks.as_strided(
         x, (fcount, nperseg), (x.strides[0] * hop, x.strides[0]))
     frames = frames - frames.mean(axis=-1, keepdims=True, dtype=np.float32)

@@ -77,7 +77,7 @@ def host_random_crop_params(rng: np.random.RandomState, h: int, w: int, size: in
 
 
 def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 224,
-                         resize_factor: float = 1.1) -> np.ndarray:
+                         resize_factor: float = 1.1, threads: int = 1) -> np.ndarray:
     """Decode clip frames -> shortest-side resize (1.1x) -> one consistent
     random crop across all frames.  Returns uint8 (T, size, size, 3)."""
     target = int(image_size * resize_factor)
@@ -108,7 +108,8 @@ def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 22
                 rh, rw = target, max(1, round(w0 * target / h0))
             crop = host_random_crop_params(rng, rh, rw, image_size)
             clip = native_mod.decode_clip_train(paths, target, image_size,
-                                                crop[0], crop[1], scaled=True)
+                                                crop[0], crop[1],
+                                                threads=threads, scaled=True)
             if clip is not None:
                 return clip
             # fall through to the per-frame path, KEEPING the drawn crop

@@ -191,6 +191,10 @@ def log_spectrogram_i16(wav: np.ndarray, samplerate: int, nperseg: int,
             f"waveform length {wav.shape[0]} yields {derived} STFT frames, "
             f"but the output is allocated for {num_frames}; prepare the "
             "waveform to the configured num_samples first")
+    if num_freqs != nperseg // 2 + 1:
+        raise ValueError(
+            f"the C side writes nperseg//2+1 = {nperseg // 2 + 1} frequency "
+            f"rows, but the output is allocated for {num_freqs}")
     out = np.empty((num_freqs, num_frames), np.int16)
     ok = lib.avt_log_spec_i16(
         wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), wav.shape[0],
@@ -215,6 +219,10 @@ def decode_wav_spec_batch(paths: list[str | Path], seconds: int, wav_len: int,
         raise ValueError(
             f"wav_len {wav_len} yields {derived} STFT frames, but the "
             f"output is allocated for {num_frames}")
+    if num_freqs != nperseg // 2 + 1:
+        raise ValueError(
+            f"the C side writes nperseg//2+1 = {nperseg // 2 + 1} frequency "
+            f"rows, but the output is allocated for {num_freqs}")
     out = np.empty((n, num_freqs, num_frames), np.int16)
     rates = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])

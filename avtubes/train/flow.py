@@ -110,7 +110,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
     model = build_model(cfg)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
 
-    train_src, _ = build_sources(cfg)
+    train_src, _, _ = build_sources(cfg)
     loader = BatchLoader(train_src, o.batch_size, num_workers=d.n_threads,
                          shuffle=True, seed=cfg.train.seed)
     state = create_train_state(

@@ -209,7 +209,7 @@ def _clip_pair_batches(cfg: ExperimentConfig, epoch: int):
     """Consecutive-frame pairs from the training clips, in [0,1]."""
     from avtubes.train.hardway import build_sources
 
-    train_src, _ = build_sources(cfg)
+    train_src, _, _ = build_sources(cfg)
     loader = BatchLoader(train_src, cfg.optim.batch_size,
                          num_workers=cfg.data.n_threads, shuffle=True,
                          seed=cfg.train.seed)

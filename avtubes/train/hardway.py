@@ -93,7 +93,14 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
         # varies with shard remainders and decode failures)
         steps_per_epoch = agreed_steps_per_epoch(n_train_total, o.batch_size, group)
         if steps_cap:
-            steps_per_epoch = min(steps_per_epoch, steps_cap)
+            # keep the multiple-of-group invariant the agreed count
+            # establishes: a raw min() could leave fewer than `group`
+            # batches, which never flush `pending` — zero optimizer steps.
+            # A cap below group rounds UP to one full group (mirrors the
+            # single-process loop, which dispatches a whole group before
+            # noticing the cap).
+            capped = max(group, steps_cap - steps_cap % group)
+            steps_per_epoch = min(steps_per_epoch, capped)
     else:
         steps_per_epoch = max(1, len(loader) if steps_cap == 0
                               else min(len(loader), steps_cap))

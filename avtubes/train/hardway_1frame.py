@@ -37,7 +37,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
     model = build_model(cfg)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
 
-    train_src, test_src = build_sources(cfg)
+    train_src, test_src, _ = build_sources(cfg)
     loader = BatchLoader(train_src, o.batch_size, num_workers=d.n_threads,
                          shuffle=True, seed=cfg.train.seed)
     steps_per_epoch = max(1, len(loader) if steps_cap == 0 else min(len(loader), steps_cap))

@@ -35,7 +35,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
     model = FullModel(hardway=cfg.hardway, dtype=dtype, remat=cfg.train.remat)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
 
-    train_src, _ = build_sources(cfg)
+    train_src, _, _ = build_sources(cfg)
     loader = BatchLoader(train_src, o.batch_size, num_workers=d.n_threads,
                          shuffle=True, seed=cfg.train.seed)
     steps_per_epoch = max(1, len(loader) if steps_cap == 0 else min(len(loader), steps_cap))

@@ -84,12 +84,15 @@ def trainer_main():
     from avtubes.core.config import ExperimentConfig
     from avtubes.train.hardway import run
 
+    # group_steps=2 with an odd steps_cap exercises the grouped-dispatch
+    # path under the agreed-count cap (which must stay a multiple of group
+    # or `pending` never flushes and zero optimizer steps run)
     cfg = ExperimentConfig.from_args([
         "--synthetic", "--epochs", "1", "--batch_size", "2",
-        "--frame_density", "2", "--image_size", "64",
+        "--frame_density", "2", "--image_size", "64", "--group_steps", "2",
         "--summaries_dir", summaries, "--n_threads", "1",
     ])
-    metrics = run(cfg, steps_cap=2, tag="mh")
+    metrics = run(cfg, steps_cap=3, tag="mh")
     if jax.process_index() == 0:
         with open(out_path, "w") as f:
             json.dump({"ok": True,

@@ -280,3 +280,21 @@ def test_decode_clip_train_geometry_mismatch_fails_not_zerofills(tmp_path):
     out = native.decode_clip_train(paths, 106, 96, 5, 5, scaled=True)
     assert out is not None and out.shape == (4, 96, 96, 3)
     assert out.min() != out.max()  # real pixels, not zero fill
+
+
+def test_log_spec_i16_rejects_wrong_num_freqs():
+    """The C side always writes nperseg//2+1 frequency rows; a caller-supplied
+    num_freqs that disagrees (a mel bin count, a stale config) must raise,
+    not heap-overflow the int16 allocation."""
+    wav = np.zeros(512 + 3 * 511, np.float32)  # 4 frames at hop 511
+    with pytest.raises(ValueError, match="frequency"):
+        native.log_spectrogram_i16(wav, 22050, 512, 1, num_freqs=129,
+                                   num_frames=4)
+
+
+def test_decode_wav_spec_batch_rejects_wrong_num_freqs(tmp_path):
+    with pytest.raises(ValueError, match="frequency"):
+        native.decode_wav_spec_batch([tmp_path / "x.wav"], seconds=1,
+                                     wav_len=512 + 511, samplerate=22050,
+                                     nperseg=512, noverlap=1,
+                                     num_freqs=129, num_frames=2)

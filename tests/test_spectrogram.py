@@ -212,3 +212,15 @@ def test_spec_transport_through_pipeline(tmp_path):
     ref = log_spectrogram_np(
         np.asarray(prepare_waveform(wav, 16000, 1), np.float64)[:16000], spec_cfg)
     assert np.abs(spec - ref).max() < 2e-4
+
+
+def test_np_f32_rejects_short_waveform():
+    """as_strided framing must not silently read past a short buffer — the
+    contract (prepare to cfg.num_samples first) is enforced loudly, same as
+    the native wrapper."""
+    import pytest
+
+    from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram_np_f32
+
+    with pytest.raises(ValueError, match="prepare"):
+        log_spectrogram_np_f32(np.zeros(1000, np.float32), SpectrogramConfig())
