@@ -25,8 +25,9 @@ def make_mesh(devices=None, axis_names=(DATA_AXIS,), shape=None) -> Mesh:
     and data never straddle the host<->TPU tunnel.
     """
     if devices is None:
-        default = jax.config.jax_default_device
-        devices = jax.devices(default.platform) if default is not None else jax.devices()
+        from avtubes.core.platform import default_devices
+
+        devices = default_devices()
     devices = np.asarray(devices)
     if shape is not None:
         devices = devices.reshape(shape)
@@ -44,8 +45,9 @@ def make_data_mesh(batch_size: int, devices=None) -> Mesh:
     order (the layout `make_array_from_process_local_data` expects).
     """
     if devices is None:
-        default = jax.config.jax_default_device
-        devices = jax.devices(default.platform) if default is not None else jax.devices()
+        from avtubes.core.platform import default_devices
+
+        devices = default_devices()
     if jax.process_count() > 1:
         by_proc: dict[int, list] = {}
         for d in devices:

@@ -32,9 +32,13 @@ def ciou_single(infer: np.ndarray, gtmap: np.ndarray, thres: float = 0.01) -> fl
     infer = np.asarray(infer)
     gtmap = np.asarray(gtmap)
     pred = (infer >= thres).astype(gtmap.dtype)
-    inter = float(np.sum(pred * gtmap))
-    union = float(np.sum(gtmap) + np.sum(pred * (gtmap == 0)))
-    return inter / union
+    inter = np.float64(np.sum(pred * gtmap))
+    union = np.float64(np.sum(gtmap) + np.sum(pred * (gtmap == 0)))
+    # numpy-scalar division: an empty GT with an empty prediction yields nan
+    # (the reference's np.sum()/np.sum() semantics, `utils.py:209-214`) and
+    # the eval loop continues — Python-float 0.0/0.0 would raise instead
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return float(inter / union)
 
 
 def success_curve(cious: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -76,9 +80,10 @@ class Evaluator:
         # math, inlined so the returned triple can never desynchronize)
         pred = (np.asarray(infer) >= thres).astype(np.float64)
         gt = np.asarray(gtmap)
-        inter = float(np.sum(pred * gt))
-        union = float(np.sum(gt) + np.sum(pred * (gt == 0)))
-        c = inter / union  # same (unguarded) semantics as ciou_single
+        inter = np.float64(np.sum(pred * gt))
+        union = np.float64(np.sum(gt) + np.sum(pred * (gt == 0)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = float(inter / union)  # nan on 0/0, like the reference
         self.ciou.append(c)
         return c, inter, union
 

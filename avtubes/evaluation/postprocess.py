@@ -68,7 +68,9 @@ def heatmap_to_mask_batch(heatmaps: jnp.ndarray, size: int = IMG,
     """Batched on-device postprocess: (B, h, w) heatmaps -> (B, size, size) {0,1} masks.
 
     Matches `heatmap_to_mask` per sample; the median is the value at sorted
-    index size*size/2 per map, and the mask keeps pixels strictly above it.
+    index size*size/2 per map, and the mask keeps pixels strictly above it
+    plus pixels exactly at the normalized max (the reference's
+    `out[out < 1.0] = 0` spares them even when the median is 1.0).
     The k-th value comes from an exact bit-space bisection instead of a full
     sort (avtubes.ops.median_select — Pallas on TPU), bit-identical to
     `jnp.sort(pred)[k]` and ~10x cheaper.
@@ -82,4 +84,9 @@ def heatmap_to_mask_batch(heatmaps: jnp.ndarray, size: int = IMG,
     hi = flat.max(axis=1, keepdims=True)
     denom = jnp.where(hi - lo == 0, 1.0, hi - lo)
     pred = ((flat - lo) / denom).reshape(b, size, size)
-    return median_mask(pred, k=size * size // 2, impl=impl)
+    mask = median_mask(pred, k=size * size // 2, impl=impl)
+    # the host path's `out[out < 1.0] = 0` keeps pixels EQUAL to 1.0 even
+    # when the median itself is 1.0 (a >50% plateau at the max) — the
+    # strictly-greater mask alone would drop them.  Constant maps are
+    # unaffected: their pred is identically 0 (flat - lo == 0).
+    return jnp.where(pred == 1.0, 1.0, mask)

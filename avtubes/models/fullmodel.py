@@ -31,7 +31,11 @@ class FullModel(nn.Module):
         net3d = nn.remat(ResNet3D, static_argnums=(2,)) if self.remat else ResNet3D
         net2d = nn.remat(ResNet2D, static_argnums=(2,)) if self.remat else ResNet2D
         self.vidnet = net3d(dtype=self.dtype, name="vidnet")
-        self.audnet = net2d(modal="audio", dtype=self.dtype, name="audnet")
+        # bn_scale_noise=False: the N(1, .02) BN re-init lives only in the
+        # reference's AVENet.__init__ (`model.py:104-110`); FullModel's
+        # audnet (`model.py:21`) keeps torch's constant-1 BN default
+        self.audnet = net2d(modal="audio", dtype=self.dtype,
+                            bn_scale_noise=False, name="audnet")
 
     def encode_video(self, video, train: bool = True) -> jnp.ndarray:
         """(B, T, H, W, 3) -> (B, T, H/16, W/16, 512)."""

@@ -81,15 +81,18 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_scale_noise: bool = True  # N(1, .02) BN scale (AVENet re-init) vs 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        scale_init = (bn_scale_init if self.bn_scale_noise
+                      else nn.initializers.ones)
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
-            scale_init=bn_scale_init,
+            scale_init=scale_init,
             name=name,
         )
         identity = x
@@ -121,6 +124,10 @@ class ResNet2D(nn.Module):
     stage_strides: Sequence[int] = (1, 2, 2, 1)  # layer4 stride 1 -> 14x14 map
     s2d_stem: bool = False  # space-to-depth stem: exact 7x7/s2 equivalent,
     #                          much better MXU/HBM behavior on TPU
+    bn_scale_noise: bool = True  # N(1, .02) BN scale init — the AVENet
+    #   re-init (`model.py:108-110`).  The reference applies it ONLY inside
+    #   AVENet.__init__; FullModel's 2D audnet keeps torch's constant-1
+    #   default, so the 3D path builds this module with False.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -131,6 +138,8 @@ class ResNet2D(nn.Module):
                 f"modal={self.modal!r} expects {expected_c} input channels (NHWC), got {x.shape}"
             )
         x = x.astype(self.dtype)
+        scale_init = (bn_scale_init if self.bn_scale_noise
+                      else nn.initializers.ones)
         if self.s2d_stem:
             x = space_to_depth(x, 2)
             x = nn.Conv(64, (4, 4), padding=((2, 1), (2, 1)), use_bias=False,
@@ -141,7 +150,7 @@ class ResNet2D(nn.Module):
                         kernel_init=conv_init, dtype=self.dtype,
                         name=f"stem_{self.modal}")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, scale_init=bn_scale_init, name="stem_bn")(x)
+                         dtype=self.dtype, scale_init=scale_init, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, (blocks, filters, stride) in enumerate(
@@ -152,6 +161,7 @@ class ResNet2D(nn.Module):
                     filters=filters,
                     stride=stride if j == 0 else 1,
                     dtype=self.dtype,
+                    bn_scale_noise=self.bn_scale_noise,
                     name=f"layer{i + 1}_block{j}",
                 )(x, train=train)
         return x

@@ -141,11 +141,10 @@ def correlation_cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
     if impl == "auto":
         _, h, w, c = f1.shape
         d = len(_displacements(max_disp, stride)) ** 2
-        default = jax.config.jax_default_device
-        on_tpu = (default.platform if default is not None
-                  else jax.default_backend()) == "tpu"
-        impl = ("pallas" if on_tpu and _pallas_fits(h, w, c, d, max_disp,
-                                                    f1.dtype.itemsize) else "xla")
+        from avtubes.core.platform import on_tpu
+
+        impl = ("pallas" if on_tpu() and _pallas_fits(h, w, c, d, max_disp,
+                                                      f1.dtype.itemsize) else "xla")
     if impl == "pallas":
         return _correlation_pallas_ad(f1, f2, max_disp, stride)
     return correlation_xla(f1, f2, max_disp, stride)

@@ -26,8 +26,9 @@ Both return bit-identical results to `jnp.sort(x)[k]` (ties and all):
 the bisection converges to the smallest bit pattern m with
 count(x <= m) >= k+1, which is exactly the k-th smallest element.
 
-Inputs must be non-negative floats (the postprocess normalizes to [0,1]
-first); asserted nowhere for speed, guaranteed by the caller.
+Inputs must be non-negative finite floats (any magnitude — the bisection
+bound is the largest finite f32); asserted nowhere for speed, guaranteed by
+the caller.
 """
 
 from __future__ import annotations
@@ -39,8 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ONE_BITS = 0x3F800000  # bit pattern of 1.0f; search space upper bound
-_ITERS = 31             # ceil(log2(_ONE_BITS + 1)) + margin
+_MAX_BITS = 0x7F7FFFFF  # bit pattern of the largest finite f32: the search
+#                          covers ALL finite non-negative inputs, not just
+#                          [0, 1] (a caller feeding un-normalized maps must
+#                          get the exact answer, not a silent clamp at 1.0)
+_ITERS = 31             # ceil(log2(_MAX_BITS + 1)) = 31 exactly
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -49,11 +53,11 @@ def kth_value_bits_xla(x: jnp.ndarray, k: int) -> jnp.ndarray:
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     b = x.shape[0]
     lo0 = jnp.zeros((b,), jnp.int32)
-    hi0 = jnp.full((b,), _ONE_BITS, jnp.int32)
+    hi0 = jnp.full((b,), _MAX_BITS, jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = (lo + hi) >> 1  # both <= _ONE_BITS, sum cannot overflow int32
+        mid = lo + ((hi - lo) >> 1)  # lo+hi could overflow int32 at _MAX_BITS
         cnt = jnp.sum(bits <= mid[:, None], axis=1)
         take_lo = cnt >= k + 1
         return jnp.where(take_lo, lo, mid + 1), jnp.where(take_lo, mid, hi)
@@ -69,14 +73,14 @@ def _median_mask_kernel(pred_ref, out_ref, *, k):
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = (lo + hi) >> 1
+        mid = lo + ((hi - lo) >> 1)
         cnt = jnp.sum(bits <= mid)
         take_lo = cnt >= k + 1
         return (jnp.where(take_lo, lo, mid + 1),
                 jnp.where(take_lo, mid, hi))
 
     lo, _ = jax.lax.fori_loop(
-        0, _ITERS, body, (jnp.int32(0), jnp.int32(_ONE_BITS)))
+        0, _ITERS, body, (jnp.int32(0), jnp.int32(_MAX_BITS)))
     # strictly-greater mask; int compare == float compare for non-negatives
     out_ref[0] = (bits > lo).astype(jnp.float32)
 

@@ -96,10 +96,9 @@ def log_spectrogram_fused(x: jnp.ndarray,
 
     x = as_float_waveform(x)  # int16 PCM transport: same rescale as the
     # XLA path, so both implementations agree on quantized inputs
-    default = jax.config.jax_default_device
-    on_tpu = (default.platform if default is not None
-              else jax.default_backend()) == "tpu"
-    if not on_tpu:
+    from avtubes.core.platform import on_tpu
+
+    if not on_tpu():
         return log_spectrogram(x, cfg)
     if x.ndim == 1:
         return _log_spectrogram_pallas(x[None], cfg, tile)[0]

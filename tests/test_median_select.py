@@ -65,3 +65,15 @@ def test_batch_postprocess_still_matches_host():
     for i in range(4):
         single = heatmap_to_mask(heat[i])
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_bisect_exact_above_one():
+    """The bisection bound covers ALL finite non-negative f32 — values
+    beyond 1.0 (un-normalized maps) must return the exact k-th value, not a
+    silent clamp at 1.0."""
+    x = np.linspace(0.0, 2.0, 100, dtype=np.float32)[None]
+    for k in (0, 50, 80, 99):
+        got = float(kth_value_bits_xla(jnp.asarray(x), k)[0])
+        assert got == float(np.sort(x[0])[k]), (k, got)
+    big = np.asarray([[3e38, 1e30, 7.5, 0.0]], np.float32)
+    assert float(kth_value_bits_xla(jnp.asarray(big), 3)[0]) == np.float32(3e38)

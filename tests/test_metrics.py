@@ -82,3 +82,13 @@ def test_mtc_alternating():
     a = _box_map(0, 0, 50, 50)
     b = _box_map(100, 100, 150, 150)
     assert mtc([a, b, a]) == 0.0
+
+
+def test_ciou_empty_gt_empty_pred_is_nan_not_crash():
+    """0/0 follows the reference's numpy-scalar semantics (`utils.py:209-214`):
+    nan, and the eval loop keeps going — not a ZeroDivisionError."""
+    empty = np.zeros((224, 224), np.float32)
+    assert np.isnan(ciou_single(empty, empty, 0.5))
+    ev = Evaluator()
+    c, inter, union = ev.cal_CIOU(empty, empty)
+    assert np.isnan(c) and inter == 0 and union == 0

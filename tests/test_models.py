@@ -143,3 +143,29 @@ def test_remat_is_math_invariant():
     _, mt0 = hardway_train_step(st0, frames, frames, aud, 0.1)
     _, mt1 = hardway_train_step(st1, frames, frames, aud, 0.1)
     np.testing.assert_allclose(float(mt0["loss"]), float(mt1["loss"]), rtol=1e-6)
+
+
+def test_fullmodel_audnet_bn_init_is_constant_one():
+    """The N(1, .02) BN re-init lives only in the reference AVENet.__init__
+    (`model.py:104-110`); FullModel's 2D audnet keeps torch's constant-1
+    default (`model.py:21`) — the 3D path must init from the same
+    distribution."""
+    from avtubes.models.fullmodel import FullModel
+
+    m = FullModel()
+    v = jax.jit(lambda r: m.init(r, jnp.zeros((4, 32, 32, 1)),
+                                 jnp.zeros((2, 2, 32, 32, 3)),
+                                 train=False))(jax.random.PRNGKey(0))
+    for name in ("stem_bn", "layer1_block0"):
+        node = v["params"]["audnet"][name]
+        scale = node["scale"] if "scale" in node else node["bn1"]["scale"]
+        assert np.unique(np.asarray(scale)) == np.asarray([1.0])
+    # AVENet keeps the noisy re-init
+    from avtubes.models import AVENet
+
+    a = AVENet()
+    va = jax.jit(lambda r: a.init(r, jnp.zeros((2, 32, 32, 3)),
+                                  jnp.zeros((2, 32, 32, 1)),
+                                  train=False))(jax.random.PRNGKey(0))
+    s = np.asarray(va["params"]["audnet"]["stem_bn"]["scale"])
+    assert s.std() > 0.005  # N(1, .02), not constant

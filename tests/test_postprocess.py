@@ -73,3 +73,18 @@ def test_constant_heatmap_empty_mask_both_paths():
             jnp.full((1, 14, 14), c, jnp.float32)))[0]
         assert host.sum() == 0
         assert batch.sum() == 0
+
+
+def test_plateau_at_max_matches_host_path():
+    """A heatmap where >50% of upsampled pixels sit exactly at the max: the
+    median threshold equals 1.0 and the reference's `out[out < 1.0] = 0`
+    KEEPS the max plateau as foreground.  The batched strictly-greater mask
+    used to return all zeros here — pinned equal to the host path now."""
+    import jax.numpy as jnp
+
+    h = np.ones((14, 14), np.float32)
+    h[:, 10:] = 0.0  # 10/14 columns at the max
+    host = heatmap_to_mask(h)
+    batch = np.asarray(heatmap_to_mask_batch(jnp.asarray(h)[None])[0])
+    assert host.sum() > 0, "host path must keep the plateau"
+    np.testing.assert_array_equal(batch, host)
