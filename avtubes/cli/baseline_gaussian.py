@@ -16,7 +16,7 @@ import numpy as np
 from avtubes.core.config import ExperimentConfig
 from avtubes.data.index import load_split
 from avtubes.evaluation import auc_from_ciou, ciou_single, heatmap_to_mask
-from avtubes.train.evaluate import make_gt_lookup
+from avtubes.train.evaluate import make_gt_lookup_auto
 from avtubes.train.hardway import _synthetic_gt_lookup
 
 SOTA_CIOU = 0.7349397590361446  # test_hardway_dataset.py:88
@@ -24,8 +24,10 @@ SOTA_AUC = 0.5778112449799198   # test_hardway_dataset.py:89
 
 
 def gaussian_heatmap(std: float, size: int = 14) -> np.ndarray:
-    g1 = np.exp(-0.5 * ((np.arange(size) - (size - 1) / 2) / std) ** 2)
-    return np.outer(g1, g1)
+    """Centered Gaussian prior heatmap — gkern with the baseline's shape."""
+    from avtubes.utils.misc import gkern
+
+    return gkern(size, std)
 
 
 def score_gaussian(std: float, ids, gt_lookup) -> tuple[float, float]:
@@ -46,7 +48,7 @@ def main(argv=None):
         gt_lookup = _synthetic_gt_lookup()
     else:
         ids = load_split(d.metadata_dir, d.testset, "test_hardway")
-        gt_lookup = make_gt_lookup(d)
+        gt_lookup = make_gt_lookup_auto(d)
 
     print(f"quoted SOTA (LVS): cIoU {SOTA_CIOU}  AUC {SOTA_AUC}")
     best = (0.0, 0.0, 0)

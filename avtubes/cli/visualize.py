@@ -24,7 +24,7 @@ from avtubes.data.pipeline import HardwayTestSource, SyntheticSource
 from avtubes.data.spectrogram import SpectrogramConfig, log_spectrogram
 from avtubes.data.transforms import normalize_imagenet
 from avtubes.evaluation import ciou_single, heatmap_to_mask_batch
-from avtubes.train.evaluate import make_gt_lookup
+from avtubes.train.evaluate import make_gt_lookup_auto
 from avtubes.train.hardway import _synthetic_gt_lookup, build_model
 from avtubes.train.state import create_train_state
 from avtubes.train.steps import (
@@ -67,7 +67,7 @@ def main(argv=None):
     else:
         ids = load_split(d.metadata_dir, d.testset, "test_hardway")
         src = HardwayTestSource(d.og_data_path or d.data_path, ids, d)
-        gt_lookup = make_gt_lookup(d)
+        gt_lookup = make_gt_lookup_auto(d)
 
     steps = cfg.train.steps_cap or 20
     if overfit:

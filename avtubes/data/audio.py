@@ -41,6 +41,9 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         (chunk_size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:  # truncated file: struct.error is not a
+                raise ValueError(  # ValueError, so it would not skip-count
+                    f"{path}: truncated fmt chunk ({len(body)} bytes)")
             audio_format, channels, samplerate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_format == 0xFFFE and chunk_size >= 40:  # WAVE_FORMAT_EXTENSIBLE
@@ -106,6 +109,8 @@ def prepare_waveform(samples: np.ndarray, samplerate: int, seconds: int = 10) ->
     if samples.ndim > 1:  # reference data is mono; downmix defensively
         samples = samples.mean(axis=1)
     target = samplerate * seconds
+    if samples.shape[0] == 0:  # empty data chunk: a decode failure, not a
+        raise ValueError("empty waveform")  # ZeroDivisionError below
     if samples.shape[0] < target:
         n = int(target / samples.shape[0]) + 1
         samples = np.tile(samples, n)

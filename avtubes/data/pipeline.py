@@ -413,6 +413,11 @@ class BatchLoader:
                     done.put((pos, self.source.load(idx, rng)))
                 except SkippedSampleError as e:
                     done.put((pos, e))  # main loop reports + counts
+                except BaseException as e:  # noqa: BLE001
+                    # anything else is a genuine bug — ship it to the main
+                    # loop to RAISE there; a worker dying without posting
+                    # would leave the epoch loop blocked in done.get()
+                    done.put((pos, e))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -442,6 +447,8 @@ class BatchLoader:
                     self.skipped += 1
                     self.epoch_skipped += 1
                     print(f"[loader] epoch {epoch}: skipping sample: {s}")
+                elif isinstance(s, BaseException):
+                    raise s  # worker hit a non-skippable bug: fail loudly
                 else:
                     buf.append(s)
                 if len(buf) == self.batch_size:

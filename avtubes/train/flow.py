@@ -66,9 +66,15 @@ def flow_train_step(state, flow_variables, frames, spec,
     b, t = frames.shape[:2]
     frames_f = frames.reshape(b * t, *frames.shape[2:])
 
-    # flow between consecutive frame pairs (no grad into the flow net here)
-    im1 = frames[:, :-1].reshape(b * (t - 1), *frames.shape[2:])
-    im2 = frames[:, 1:].reshape(b * (t - 1), *frames.shape[2:])
+    # flow between consecutive frame pairs (no grad into the flow net here).
+    # FlowNetLite is pretrained on [0,1] frames (flow_pretrain's photometric
+    # loss divides by 255) — undo the ImageNet normalization the AVENet
+    # input carries, or the flow net runs far outside its input domain
+    from avtubes.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    raw = frames * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+    im1 = raw[:, :-1].reshape(b * (t - 1), *frames.shape[2:])
+    im2 = raw[:, 1:].reshape(b * (t - 1), *frames.shape[2:])
     flow = FlowNetLite().apply(flow_variables, im1, im2)
     flow = jax.lax.stop_gradient(flow)
 
@@ -118,6 +124,24 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
         (jnp.zeros((2, d.image_size, d.image_size, 3)),
          jnp.zeros((2, *spec_cfg.shape, 1))),
         o, max(1, len(loader)))
+    start_epoch = 0
+    if cfg.train.use_pretrained:
+        # the reference warm-starts flow training from the trained LVS
+        # localizer unconditionally (`flow.py:94-98`); here it is gated by
+        # the same --use_pretrained/--pretrained_path flags as the flagship
+        ckpt = cfg.train.pretrained_path or latest_checkpoint(
+            cfg.train.summaries_dir, tag)
+        if ckpt and str(ckpt).endswith((".pth", ".pth.tar")):
+            from avtubes.core.torch_import import avenet_from_torch
+
+            converted = avenet_from_torch(ckpt)
+            state = state.replace(params=converted["params"],
+                                  batch_stats=converted["batch_stats"])
+            print(f"[flow] warm-started AVENet from torch checkpoint {ckpt}")
+        elif ckpt:
+            state, start_epoch = restore_checkpoint(ckpt, state)
+            start_epoch += 1
+            print(f"[flow] resumed from {ckpt} at epoch {start_epoch}")
     flow_variables = jax.jit(FlowNetLite().init)(
         jax.random.PRNGKey(cfg.train.seed + 7),
         jnp.zeros((1, d.image_size, d.image_size, 3)),
@@ -144,7 +168,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
     last: dict = {}
     guard = PreemptionGuard()  # SIGTERM/SIGINT -> checkpoint + clean exit
     watch = cfg.train.watch_every > 0  # wandb.watch parity (flow.py:124)
-    for epoch in range(o.epochs):
+    for epoch in range(start_epoch, o.epochs):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 4), epoch)
         step_in_epoch = 0
         for batch in device_prefetch(loader.epoch(epoch), depth=d.prefetch,
@@ -158,8 +182,9 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
             step_in_epoch += 1
             norms = {k: v for k, v in metrics.items() if "_norm/" in k}
             metrics = {k: v for k, v in metrics.items() if "_norm/" not in k}
-            logger.log(step=int(state.step), epoch=epoch,
-                       **{k: float(v) for k, v in metrics.items()})
+            if step_in_epoch % cfg.train.log_every == 0 or steps_cap:
+                logger.log(step=int(state.step), epoch=epoch,
+                           **{k: float(v) for k, v in metrics.items()})
             if watch and step_in_epoch % cfg.train.watch_every == 0:
                 logger.log(step=int(state.step), epoch=epoch,
                            **{k: float(v) for k, v in norms.items()})

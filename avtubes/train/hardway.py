@@ -72,7 +72,11 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
         import dataclasses
 
         mesh_probe = make_data_mesh(o.batch_size)
-        per_dev = (o.batch_size * max(d.frame_density, 1)) // mesh_probe.size
+        # batch_size is PER PROCESS while mesh.size counts GLOBAL devices:
+        # the global frame batch is batch_size * process_count * t
+        global_frames = (o.batch_size * jax.process_count()
+                         * max(d.frame_density, 1))
+        per_dev = global_frames // mesh_probe.size
         cfg = dataclasses.replace(
             cfg, hardway=dataclasses.replace(cfg.hardway, pool_block=per_dev))
     model = build_model(cfg)

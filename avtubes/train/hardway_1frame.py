@@ -20,7 +20,7 @@ from avtubes.core.config import ExperimentConfig
 from avtubes.core.mesh import make_data_mesh, replicate, shard_batch
 from avtubes.data.pipeline import BatchLoader, device_prefetch
 from avtubes.data.spectrogram import SpectrogramConfig
-from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup
+from avtubes.train.evaluate import evaluate_hardway, make_gt_lookup_auto
 from avtubes.train.hardway import _synthetic_gt_lookup, build_model, build_sources
 from avtubes.train.state import create_train_state
 from avtubes.train.steps import hardway_1frame_fused_step
@@ -95,7 +95,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
             test_loader = BatchLoader(test_src, batch_size=min(d.eval_batch_size, len(test_src)),
                                       num_workers=d.n_threads, shuffle=False,
                                       drop_last=False)
-            gt_lookup = _synthetic_gt_lookup() if d.synthetic else make_gt_lookup(d)
+            gt_lookup = _synthetic_gt_lookup() if d.synthetic else make_gt_lookup_auto(d)
             em = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup, epoch=epoch)
             last.update(em)
             logger.log(step=int(state.step), epoch=epoch, **em)

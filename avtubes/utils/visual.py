@@ -51,6 +51,8 @@ def overlay_heatmap(frame: np.ndarray, pred: np.ndarray,
     frame = (frame - frame.min()) / max(frame.max() - frame.min(), 1e-12)
     layers = _jet(pred) * 0.5
     if gt_map is not None:
-        layers = layers + _jet(np.clip(gt_map, 0, 1) * 0.5) * 0.5
+        # halve the COLORMAPPED image, not the input (a gt of 1.0 must map
+        # through JET at 1.0 — red — before the 50/50 blend with pred)
+        layers = layers + _jet(np.clip(gt_map, 0, 1)) * 0.5
     out = frame * 255.0 * 0.4 + layers * 0.6
     return np.uint8(np.clip(out, 0, 255))

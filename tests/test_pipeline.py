@@ -311,3 +311,33 @@ def test_batched_hardway_loader_pil_fallback_for_cmyk(dataset, tmp_path):
     got = [vid for batch in loader.epoch(0) for vid in batch["id"]]
     assert got == ids  # nothing skipped
     assert loader.skipped == 0
+
+
+def test_loader_worker_bug_raises_instead_of_deadlocking():
+    """A non-SkippedSampleError escaping source.load used to kill the worker
+    thread without its stop sentinel, leaving the epoch loop blocked in
+    done.get() forever.  It must RAISE in the main loop instead."""
+    from avtubes.data.pipeline import BatchLoader
+
+    class BuggySource:
+        def __len__(self):
+            return 4
+
+        def load(self, idx, rng):
+            if idx == 2:
+                raise ZeroDivisionError("bug in sample 2")
+            return {"x": np.zeros(3, np.float32), "id": str(idx)}
+
+    loader = BatchLoader(BuggySource(), batch_size=2, num_workers=2,
+                         shuffle=False)
+    with pytest.raises(ZeroDivisionError):
+        list(loader.epoch(0))
+
+
+def test_empty_wav_data_chunk_is_skippable(tmp_path):
+    """An empty data chunk is a decode failure (ValueError -> skip-and-count
+    via SkippedSampleError), not a ZeroDivisionError crash."""
+    from avtubes.data.audio import prepare_waveform
+
+    with pytest.raises(ValueError, match="empty"):
+        prepare_waveform(np.zeros((0,), np.float64), 22050, 1)
