@@ -55,12 +55,11 @@ def host_resize_shortest(img, size: int):
     """PIL aspect-preserving bicubic resize of the shortest side."""
     from PIL import Image
 
+    from avtubes.native import shortest_side_dims
+
     w, h = img.size
-    if w < h:
-        new = (size, max(1, round(h * size / w)))
-    else:
-        new = (max(1, round(w * size / h)), size)
-    return img.resize(new, Image.BICUBIC)
+    rh, rw = shortest_side_dims(h, w, size)
+    return img.resize((rw, rh), Image.BICUBIC)
 
 
 def host_center_crop(arr: np.ndarray, size: int) -> np.ndarray:
@@ -101,11 +100,7 @@ def host_load_train_clip(paths, rng: np.random.RandomState, image_size: int = 22
         # bit-identical (tests/test_native.py pins it).
         size0 = native_mod.jpeg_size(paths[0])
         if size0 is not None:
-            h0, w0 = size0
-            if w0 < h0:
-                rh, rw = max(1, round(h0 * target / w0)), target
-            else:
-                rh, rw = target, max(1, round(w0 * target / h0))
+            rh, rw = native_mod.shortest_side_dims(*size0, target)
             crop = host_random_crop_params(rng, rh, rw, image_size)
             clip = native_mod.decode_clip_train(paths, target, image_size,
                                                 crop[0], crop[1],

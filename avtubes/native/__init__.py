@@ -21,10 +21,33 @@ _lib = None
 _tried = False
 
 
+def shortest_side_dims(h: int, w: int, target: int) -> tuple[int, int]:
+    """(rh, rw) of a shortest-side resize to `target`.  Python round() is
+    half-to-even, matching the C++ side's std::nearbyint (`shortest_dims`
+    in avtubes_io.cc) — the two copies MUST stay in lockstep or buffer
+    sizes disagree at exact .5 ties (tests/test_native.py pins a tie)."""
+    if w < h:
+        return max(1, round(h * target / w)), target
+    return target, max(1, round(w * target / h))
+
+
 def _build() -> bool:
+    # cross-PROCESS serialization (the threading.Lock in get_lib covers only
+    # this process): multi-process trainers all hit build-on-first-use on a
+    # fresh checkout; an fcntl lock makes the peers wait for one builder
+    # (the Makefile additionally compiles to a temp + atomic rename, so even
+    # an unlocked concurrent reader never maps a half-written .so)
     try:
-        subprocess.run(["make", "-C", str(_DIR)], check=True,
-                       capture_output=True, timeout=120)
+        import fcntl
+
+        with open(_DIR / ".build.lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            src = _DIR / "avtubes_io.cc"
+            if (_LIB_PATH.exists() and src.exists()
+                    and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime):
+                return True  # a peer built it while this process waited
+            subprocess.run(["make", "-C", str(_DIR)], check=True,
+                           capture_output=True, timeout=120)
         return _LIB_PATH.exists()
     except Exception as e:
         print(f"[native] build failed ({e}); using Python IO fallbacks")
@@ -283,10 +306,7 @@ def decode_jpeg_shortest(path: str | Path, short_side: int,
         if size is None:
             return None
         h, w = size
-        if w < h:
-            rh, rw = max(1, round(h * short_side / w)), short_side
-        else:
-            rh, rw = short_side, max(1, round(w * short_side / h))
+        rh, rw = shortest_side_dims(h, w, short_side)
         out = np.empty((rh, rw, 3), np.uint8)
     oh = ctypes.c_int()
     ow = ctypes.c_int()

@@ -32,6 +32,25 @@ struct WavData {
   int samplerate = 0;
 };
 
+// Shortest-side resize target dims from ORIGINAL geometry.  Rounding MUST
+// be half-to-even (std::nearbyint under the default FP rounding mode) to
+// match Python round() in host_resize_shortest and the ctypes wrapper's
+// buffer allocation (`shortest_side_dims`) — lround (half away from zero)
+// disagrees at exact .5 ties, which would overflow the caller's buffer by
+// one row/column.  THE one copy on the C++ side; keep in lockstep with the
+// one Python copy.
+inline void shortest_dims(int oh, int ow, int target, int* rh, int* rw) {
+  if (ow < oh) {
+    *rw = target;
+    *rh = std::max(1, static_cast<int>(std::nearbyint(
+        static_cast<double>(oh) * target / ow)));
+  } else {
+    *rh = target;
+    *rw = std::max(1, static_cast<int>(std::nearbyint(
+        static_cast<double>(ow) * target / oh)));
+  }
+}
+
 bool read_wav_file(const char* path, WavData* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -41,6 +60,13 @@ bool read_wav_file(const char* path, WavData* out) {
     fclose(f);
     return false;
   }
+  // chunk sizes are UNTRUSTED 32-bit fields from the file: cap them by the
+  // actual file size so a corrupt header can neither over-read a short
+  // body nor drive a multi-GB allocation (bad_alloc from a std::thread
+  // worker would std::terminate the whole process)
+  fseek(f, 0, SEEK_END);
+  const long file_size = ftell(f);
+  fseek(f, 12, SEEK_SET);
   uint16_t audio_format = 0, channels = 0, bits = 0;
   uint32_t samplerate = 0;
   std::vector<uint8_t> data;
@@ -48,7 +74,9 @@ bool read_wav_file(const char* path, WavData* out) {
   while (fread(chunk, 1, 8, f) == 8) {
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
+    if (static_cast<long>(size) > file_size) break;  // lies about its size
     if (!memcmp(chunk, "fmt ", 4)) {
+      if (size < 16) break;  // truncated fmt: fields below read 16 bytes
       std::vector<uint8_t> body(size);
       if (fread(body.data(), 1, size, f) != size) break;
       memcpy(&audio_format, body.data(), 2);
@@ -452,6 +480,14 @@ bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
   }
   *h = cinfo.output_height;
   *w = cinfo.output_width;
+  // untrusted header dims: a crafted 65500x65500 JPEG would ask ~12.8 GB
+  // here (bad_alloc in a std::thread worker -> std::terminate).  100 MP is
+  // far beyond any real dataset frame; decline and let the caller skip.
+  if (static_cast<size_t>(*h) * *w > 100'000'000ull) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   buf->resize(static_cast<size_t>(*h) * *w * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = buf->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
@@ -483,8 +519,12 @@ void avt_decode_wav_batch(const char** paths, int n, int seconds, float* out,
   auto work = [&]() {
     int i;
     while ((i = next.fetch_add(1)) < n) {
-      rates[i] = avt_decode_wav(paths[i], seconds, out + (int64_t)i * out_len,
-                                out_len);
+      try {
+        rates[i] = avt_decode_wav(paths[i], seconds,
+                                  out + (int64_t)i * out_len, out_len);
+      } catch (...) {  // an escape from a std::thread would terminate()
+        rates[i] = 0;  // the process; a bad file is a per-item failure
+      }
     }
   };
   int hw = static_cast<int>(std::thread::hardware_concurrency());
@@ -543,16 +583,20 @@ void avt_decode_wav_spec_batch(const char** paths, int n, int seconds,
     std::vector<float> wav(wav_len);
     int i;
     while ((i = next.fetch_add(1)) < n) {
-      WavData wd;
-      if (!read_wav_file(paths[i], &wd)) {
+      try {
+        WavData wd;
+        if (!read_wav_file(paths[i], &wd)) {
+          rates[i] = 0;
+          continue;
+        }
+        prepare_into(wd, seconds, wav.data(), wav_len);
+        rates[i] = log_spec_i16(plan, wav.data(), wav_len, noverlap,
+                                out + static_cast<int64_t>(i) * spec_elems)
+                       ? wd.samplerate
+                       : 0;
+      } catch (...) {  // see avt_decode_wav_batch: never escape the thread
         rates[i] = 0;
-        continue;
       }
-      prepare_into(wd, seconds, wav.data(), wav_len);
-      rates[i] = log_spec_i16(plan, wav.data(), wav_len, noverlap,
-                              out + static_cast<int64_t>(i) * spec_elems)
-                     ? wd.samplerate
-                     : 0;
     }
   };
   int hw = static_cast<int>(std::thread::hardware_concurrency());
@@ -641,22 +685,9 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
   if (!decode_jpeg_to(path, &full, &h, &w, scaled ? short_side : 0, &oh, &ow))
     return 0;
   // target dims from the ORIGINAL geometry (the Python wrapper sizes the
-  // crop==0 output buffer from jpeg_size, which reports original dims).
-  // Rounding MUST be half-to-even (std::nearbyint under the default FP
-  // rounding mode) to match Python round() in both host_resize_shortest
-  // and the wrapper's buffer allocation — lround (half away from zero)
-  // disagrees at exact .5 ties, which would overflow the caller's buffer
-  // by one row/column.
+  // crop==0 output buffer from jpeg_size, which reports original dims)
   int rh, rw;
-  if (ow < oh) {
-    rw = short_side;
-    rh = std::max(1, static_cast<int>(std::nearbyint(
-        static_cast<double>(oh) * short_side / ow)));
-  } else {
-    rh = short_side;
-    rw = std::max(1, static_cast<int>(std::nearbyint(
-        static_cast<double>(ow) * short_side / oh)));
-  }
+  shortest_dims(oh, ow, short_side, &rh, &rw);
   if (crop <= 0) {
     resize_cubic_hwc(full.data(), h, w, out, rh, rw);
     *out_h = rh;
@@ -699,21 +730,14 @@ int avt_decode_clip_train(const char** paths, int n, int short_side,
     std::vector<uint8_t> full, resized;
     int i;
     while ((i = next.fetch_add(1)) < n) {
+      try {
       uint8_t* dst = out + static_cast<size_t>(i) * crop * crop * 3;
       int h = 0, w = 0, oh = 0, ow = 0;
       if (!decode_jpeg_to(paths[i], &full, &h, &w,
                           scaled ? short_side : 0, &oh, &ow))
         continue;
-      int rh, rw;  // target dims from ORIGINAL geometry (same math as
-      if (ow < oh) {  // avt_decode_jpeg_shortest / host_resize_shortest)
-        rw = short_side;
-        rh = std::max(1, static_cast<int>(std::nearbyint(
-            static_cast<double>(oh) * short_side / ow)));
-      } else {
-        rh = short_side;
-        rw = std::max(1, static_cast<int>(std::nearbyint(
-            static_cast<double>(ow) * short_side / oh)));
-      }
+      int rh, rw;  // target dims from ORIGINAL geometry
+      shortest_dims(oh, ow, short_side, &rh, &rw);
       resized.resize(static_cast<size_t>(rh) * rw * 3);
       resize_cubic_hwc(full.data(), h, w, resized.data(), rh, rw);
       if (rh - top < crop || rw - left < crop) continue;  // geometry mismatch
@@ -722,6 +746,8 @@ int avt_decode_clip_train(const char** paths, int n, int short_side,
                resized.data() + (static_cast<size_t>(top + y) * rw + left) * 3,
                static_cast<size_t>(crop) * 3);
       good.fetch_add(1);
+      } catch (...) {  // per-frame failure, never escape the thread
+      }
     }
   };
   int hw = static_cast<int>(std::thread::hardware_concurrency());
@@ -750,9 +776,13 @@ void avt_decode_jpeg_shortest_batch(const char** paths, int n, int short_side,
   auto work = [&]() {
     int i, oh, ow;
     while ((i = next.fetch_add(1)) < n) {
-      ok[i] = avt_decode_jpeg_shortest(
-          paths[i], short_side, crop,
-          out + static_cast<size_t>(i) * crop * crop * 3, &oh, &ow, scaled);
+      try {
+        ok[i] = avt_decode_jpeg_shortest(
+            paths[i], short_side, crop,
+            out + static_cast<size_t>(i) * crop * crop * 3, &oh, &ow, scaled);
+      } catch (...) {  // never escape the thread
+        ok[i] = 0;
+      }
     }
   };
   int hw = static_cast<int>(std::thread::hardware_concurrency());
@@ -775,7 +805,11 @@ void avt_decode_jpeg_batch(const char** paths, int n, uint8_t* out, int h,
   auto work = [&]() {
     int i;
     while ((i = next.fetch_add(1)) < n) {
-      ok[i] = avt_decode_jpeg(paths[i], out + (int64_t)i * h * w * 3, h, w);
+      try {
+        ok[i] = avt_decode_jpeg(paths[i], out + (int64_t)i * h * w * 3, h, w);
+      } catch (...) {  // never escape the thread
+        ok[i] = 0;
+      }
     }
   };
   int hw = static_cast<int>(std::thread::hardware_concurrency());

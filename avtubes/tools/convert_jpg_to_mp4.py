@@ -19,9 +19,15 @@ def frames_to_mp4(frames_dir: str | Path, out: str | Path, fps: int = 12) -> int
                    key=lambda p: int(re.sub(r"\D", "", p.stem) or 0))
     if not paths:
         raise ValueError(f"no JPEGs in {frames_dir}")
-    first = cv2.imread(str(paths[0]))
+    first = next((img for p in paths if (img := cv2.imread(str(p))) is not None),
+                 None)
+    if first is None:
+        raise ValueError(f"no readable JPEG in {frames_dir}")
     h, w = first.shape[:2]
     writer = cv2.VideoWriter(str(out), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f"VideoWriter failed to open {out} (mp4v codec "
+                           "unavailable?) — would silently drop every frame")
     n = 0
     for p in paths:
         img = cv2.imread(str(p))

@@ -47,7 +47,8 @@ def main(argv=None):
     p.add_argument("--urls", required=True, help="one URL per line")
     p.add_argument("--ids", required=True, help="CSV of target video ids")
     p.add_argument("--out", required=True, help="output root (videos/, audio/)")
-    p.add_argument("--validate", action="store_true", default=True)
+    p.add_argument("--validate", action=argparse.BooleanOptionalAction,
+                   default=True, help="--no-validate skips ingest checks")
     a = p.parse_args(argv)
 
     urls = [ln.strip() for ln in open(a.urls) if ln.strip()]

@@ -226,7 +226,7 @@ def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float, floa
     return e2e, host, mb_per_clip
 
 
-def bench_train_step(rtt: float) -> float:
+def bench_train_step(rtt: float) -> tuple[float, float, dict]:
     """Recipe-batch training step (train_hardway.py recipe: bs=20, T=16,
     two views, 4-term objective, fwd+bwd+Adam), measured the way the trainer
     runs it: G steps scan-grouped into ONE program (`hardway_multi_step`),
@@ -284,9 +284,8 @@ def bench_train_step(rtt: float) -> float:
 
 
 def main():
-    from avtubes.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()  # driver reruns start warm (per-CPU-scoped dir)
+    # compilation cache already enabled at module import (driver reruns
+    # start warm, per-CPU-scoped dir)
     rtt = measure_rtt()
     h2d = measure_h2d_mbps()
     timed, timed_spec, masks_once, frames, waves, specs = build_pipeline()
