@@ -276,6 +276,8 @@ def decode_jpeg(path: str | Path) -> np.ndarray | None:
     if size is None:
         return None
     h, w = size
+    if h * w > 100_000_000:  # untrusted header dims (same cap as the C++
+        return None  # decode_jpeg_to guard): don't allocate gigabytes
     out = np.empty((h, w, 3), np.uint8)
     if not lib.avt_decode_jpeg(str(path).encode(),
                                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -307,6 +309,8 @@ def decode_jpeg_shortest(path: str | Path, short_side: int,
             return None
         h, w = size
         rh, rw = shortest_side_dims(h, w, short_side)
+        if h * w > 100_000_000 or rh * rw > 100_000_000:
+            return None  # untrusted header dims / extreme aspect ratio
         out = np.empty((rh, rw, 3), np.uint8)
     oh = ctypes.c_int()
     ow = ctypes.c_int()

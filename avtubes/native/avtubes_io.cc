@@ -463,6 +463,17 @@ bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  // untrusted SOF dims: a crafted 65500x65500 header claims ~12.8 GB of
+  // pixels (bad_alloc in a std::thread worker -> std::terminate), and even
+  // the M/8 scaled path would decode garbage filler from it.  100 MP is
+  // far beyond any real dataset frame; decline and let the caller skip.
+  // Checked on the PRE-scaling dims so the scaled and full-res paths agree.
+  if (static_cast<size_t>(cinfo.image_height) * cinfo.image_width >
+      100'000'000ull) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   if (orig_h) *orig_h = cinfo.image_height;
   if (orig_w) *orig_w = cinfo.image_width;
   if (min_short_side > 0) {
@@ -480,14 +491,6 @@ bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
   }
   *h = cinfo.output_height;
   *w = cinfo.output_width;
-  // untrusted header dims: a crafted 65500x65500 JPEG would ask ~12.8 GB
-  // here (bad_alloc in a std::thread worker -> std::terminate).  100 MP is
-  // far beyond any real dataset frame; decline and let the caller skip.
-  if (static_cast<size_t>(*h) * *w > 100'000'000ull) {
-    jpeg_destroy_decompress(&cinfo);
-    fclose(f);
-    return false;
-  }
   buf->resize(static_cast<size_t>(*h) * *w * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = buf->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;

@@ -298,3 +298,102 @@ def test_decode_wav_spec_batch_rejects_wrong_num_freqs(tmp_path):
                                      wav_len=512 + 511, samplerate=22050,
                                      nperseg=512, noverlap=1,
                                      num_freqs=129, num_frames=2)
+
+
+# --- corrupt / adversarial input guards (untrusted header fields) ---------
+
+
+def _wav_bytes(n_samples=256, sr=8000, fmt_size=16, data_size=None,
+               extra_chunk=None):
+    """Hand-rolled 16-bit mono RIFF/WAVE so header fields can lie."""
+    import struct
+
+    pcm = (np.zeros(n_samples, np.int16)).tobytes()
+    if data_size is None:
+        data_size = len(pcm)
+    fmt_body = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)[:max(fmt_size, 0)]
+    body = b"fmt " + struct.pack("<I", fmt_size) + fmt_body
+    if extra_chunk is not None:
+        body += extra_chunk
+    body += b"data" + struct.pack("<I", data_size) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_valid_handroll_decodes(tmp_path):
+    """Sanity: the hand-rolled WAV builder produces a file the reader accepts
+    (so the corrupt-variant tests below fail for the corruption, not the
+    scaffolding)."""
+    p = tmp_path / "ok.wav"
+    p.write_bytes(_wav_bytes())
+    got = native.decode_wav_prepared(p, 1, 8000)
+    assert got is not None and got[1] == 8000
+
+
+def test_wav_lying_chunk_size_fails_cleanly(tmp_path):
+    """A chunk whose 32-bit size field exceeds the file must be rejected
+    before any allocation sized from it (a 0xFFFFFFF0 'data' size would
+    otherwise drive a ~4 GB vector resize inside a decode worker thread)."""
+    import struct
+
+    p = tmp_path / "liar.wav"
+    p.write_bytes(_wav_bytes(data_size=0xFFFFFFF0))
+    assert native.decode_wav_prepared(p, 1, 8000) is None
+    # and via the threaded batch APIs: per-item failure, process survives
+    out, rates = native.decode_wav_batch([p, p], 1, 8000, threads=2)
+    assert list(rates) == [0, 0]
+
+
+def test_wav_truncated_fmt_chunk_fails_cleanly(tmp_path):
+    """fmt chunks shorter than the 16 bytes the parser reads must be
+    rejected, not read past the buffer."""
+    p = tmp_path / "shortfmt.wav"
+    p.write_bytes(_wav_bytes(fmt_size=8))
+    assert native.decode_wav_prepared(p, 1, 8000) is None
+
+
+def test_wav_lying_size_in_spec_batch(tmp_path):
+    """The fused decode+spectrogram batch path shares read_wav_file; a lying
+    header must surface as rate 0 for that item only."""
+    good = tmp_path / "good.wav"
+    sr = 22050
+    write_wav(good, np.zeros(sr, np.float64), sr)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(_wav_bytes(data_size=0x7FFFFFF0))
+    nperseg, noverlap, seconds = 512, 1, 1
+    wav_len = sr * seconds
+    frames = (wav_len - noverlap) // (nperseg - noverlap)
+    res = native.decode_wav_spec_batch(
+        [good, bad], seconds=seconds, wav_len=wav_len, samplerate=sr,
+        nperseg=nperseg, noverlap=noverlap,
+        num_freqs=nperseg // 2 + 1, num_frames=frames)
+    assert res is not None
+    _, rates = res
+    assert rates[0] == sr and rates[1] == 0
+
+
+def _giant_sof_jpeg(tmp_path, h=30000, w=30000):
+    """A real JPEG whose SOF0 dims are patched to claim h x w (~0.9 GP):
+    tiny on disk, would decode to h*w*3 bytes."""
+    import struct
+
+    from PIL import Image
+
+    p = tmp_path / "giant.jpg"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p, quality=90)
+    raw = bytearray(p.read_bytes())
+    i = raw.find(b"\xff\xc0")  # baseline SOF0: marker len prec H H W W
+    assert i >= 0
+    raw[i + 5:i + 9] = struct.pack(">HH", h, w)
+    p.write_bytes(bytes(raw))
+    return p
+
+
+def test_giant_jpeg_header_rejected(tmp_path):
+    """Crafted 100+ MP header dims must be declined everywhere a buffer
+    would be sized from them — not allocated (Python) or decoded (C++)."""
+    p = _giant_sof_jpeg(tmp_path)
+    assert native.jpeg_size(p) == (30000, 30000)  # header parses...
+    assert native.decode_jpeg(p) is None          # ...but decode declines
+    assert native.decode_jpeg_shortest(p, 256, crop=224) is None
+    out, ok = native.decode_jpeg_shortest_batch([p], 256, 224, threads=2)
+    assert list(ok) == [0]
