@@ -74,7 +74,12 @@ bool read_wav_file(const char* path, WavData* out) {
   while (fread(chunk, 1, 8, f) == 8) {
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
-    if (static_cast<long>(size) > file_size) break;  // lies about its size
+    // clamp (don't reject) a size field that overruns the file: streamed
+    // writers (ffmpeg to a pipe) leave placeholder/overstated sizes, and
+    // the short-read tolerance below uses whatever bytes are really there
+    const long remaining = file_size - ftell(f);
+    if (static_cast<long>(size) > remaining)
+      size = remaining > 0 ? static_cast<uint32_t>(remaining) : 0;
     if (!memcmp(chunk, "fmt ", 4)) {
       if (size < 16) break;  // truncated fmt: fields below read 16 bytes
       std::vector<uint8_t> body(size);
@@ -508,10 +513,14 @@ extern "C" {
 
 // Decode + prepare one WAV. Returns samplerate, or 0 on failure.
 int avt_decode_wav(const char* path, int seconds, float* out, int64_t out_len) {
-  WavData wav;
-  if (!read_wav_file(path, &wav)) return 0;
-  prepare_into(wav, seconds, out, out_len);
-  return wav.samplerate;
+  try {
+    WavData wav;
+    if (!read_wav_file(path, &wav)) return 0;
+    prepare_into(wav, seconds, out, out_len);
+    return wav.samplerate;
+  } catch (...) {  // e.g. bad_alloc on a huge-but-valid file: a per-item
+    return 0;      // failure must not cross the ctypes FFI boundary
+  }
 }
 
 // Batch decode+prepare: paths is n pointers; out is (n, out_len) row-major;
@@ -680,9 +689,9 @@ int avt_decode_jpeg(const char* path, uint8_t* out, int out_h, int out_w) {
 // scaled != 0 enables DCT-domain scaled decode (fast path; the cubic pass
 // cleans up from the nearest M/8 scale).  scaled == 0 decodes at full
 // resolution first — bit-comparable to the PIL fallback.
-int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
-                             uint8_t* out, int* out_h, int* out_w,
-                             int scaled) {
+static int decode_jpeg_shortest_impl(const char* path, int short_side,
+                                     int crop, uint8_t* out, int* out_h,
+                                     int* out_w, int scaled) {
   std::vector<uint8_t> full;
   int h = 0, w = 0, oh = 0, ow = 0;
   if (!decode_jpeg_to(path, &full, &h, &w, scaled ? short_side : 0, &oh, &ow))
@@ -691,6 +700,10 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
   // crop==0 output buffer from jpeg_size, which reports original dims)
   int rh, rw;
   shortest_dims(oh, ow, short_side, &rh, &rw);
+  // the resize target is also derived from untrusted header dims: an
+  // extreme-aspect claim (2 x 30000 passes the 100 MP source cap) would
+  // make rh*rw gigabytes here; same budget, applied to the target
+  if (static_cast<size_t>(rh) * rw > 100'000'000ull) return 0;
   if (crop <= 0) {
     resize_cubic_hwc(full.data(), h, w, out, rh, rw);
     *out_h = rh;
@@ -712,6 +725,17 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
   *out_h = crop;
   *out_w = crop;
   return 1;
+}
+
+int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
+                             uint8_t* out, int* out_h, int* out_w,
+                             int scaled) {
+  try {
+    return decode_jpeg_shortest_impl(path, short_side, crop, out, out_h,
+                                     out_w, scaled);
+  } catch (...) {  // per-item failure must not cross the ctypes boundary
+    return 0;
+  }
 }
 
 // Fused TRAINING-CLIP decode: all frames of one clip through decode +
@@ -741,6 +765,8 @@ int avt_decode_clip_train(const char** paths, int n, int short_side,
         continue;
       int rh, rw;  // target dims from ORIGINAL geometry
       shortest_dims(oh, ow, short_side, &rh, &rw);
+      if (static_cast<size_t>(rh) * rw > 100'000'000ull)
+        continue;  // extreme-aspect header claim (see avt_decode_jpeg_shortest)
       resized.resize(static_cast<size_t>(rh) * rw * 3);
       resize_cubic_hwc(full.data(), h, w, resized.data(), rh, rw);
       if (rh - top < crop || rw - left < crop) continue;  // geometry mismatch

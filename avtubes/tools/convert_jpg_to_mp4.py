@@ -19,8 +19,12 @@ def frames_to_mp4(frames_dir: str | Path, out: str | Path, fps: int = 12) -> int
                    key=lambda p: int(re.sub(r"\D", "", p.stem) or 0))
     if not paths:
         raise ValueError(f"no JPEGs in {frames_dir}")
-    first = next((img for p in paths if (img := cv2.imread(str(p))) is not None),
-                 None)
+    first, start = None, 0
+    for i, p in enumerate(paths):  # geometry from the first READABLE frame
+        first = cv2.imread(str(p))
+        if first is not None:
+            start = i
+            break
     if first is None:
         raise ValueError(f"no readable JPEG in {frames_dir}")
     h, w = first.shape[:2]
@@ -28,8 +32,9 @@ def frames_to_mp4(frames_dir: str | Path, out: str | Path, fps: int = 12) -> int
     if not writer.isOpened():
         raise RuntimeError(f"VideoWriter failed to open {out} (mp4v codec "
                            "unavailable?) — would silently drop every frame")
-    n = 0
-    for p in paths:
+    writer.write(first)
+    n = 1
+    for p in paths[start + 1:]:
         img = cv2.imread(str(p))
         if img is None or img.shape[:2] != (h, w):
             continue

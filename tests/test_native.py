@@ -329,18 +329,23 @@ def test_wav_valid_handroll_decodes(tmp_path):
     assert got is not None and got[1] == 8000
 
 
-def test_wav_lying_chunk_size_fails_cleanly(tmp_path):
-    """A chunk whose 32-bit size field exceeds the file must be rejected
-    before any allocation sized from it (a 0xFFFFFFF0 'data' size would
+def test_wav_lying_chunk_size_clamped_to_file(tmp_path):
+    """A chunk whose 32-bit size field exceeds the file is CLAMPED to the
+    bytes actually present — streamed writers (ffmpeg to a pipe) leave
+    placeholder/overstated sizes, and those files must keep decoding —
+    while never allocating from the lie (a 0xFFFFFFF0 'data' size would
     otherwise drive a ~4 GB vector resize inside a decode worker thread)."""
-    import struct
-
-    p = tmp_path / "liar.wav"
-    p.write_bytes(_wav_bytes(data_size=0xFFFFFFF0))
-    assert native.decode_wav_prepared(p, 1, 8000) is None
-    # and via the threaded batch APIs: per-item failure, process survives
-    out, rates = native.decode_wav_batch([p, p], 1, 8000, threads=2)
-    assert list(rates) == [0, 0]
+    truth = tmp_path / "truth.wav"
+    truth.write_bytes(_wav_bytes())
+    liar = tmp_path / "liar.wav"
+    liar.write_bytes(_wav_bytes(data_size=0xFFFFFFF0))
+    ref = native.decode_wav_prepared(truth, 1, 8000)
+    got = native.decode_wav_prepared(liar, 1, 8000)
+    assert got is not None and got[1] == ref[1]
+    np.testing.assert_array_equal(got[0], ref[0])
+    # and via the threaded batch APIs: decodes, process survives
+    out, rates = native.decode_wav_batch([liar, liar], 1, 8000, threads=2)
+    assert list(rates) == [8000, 8000]
 
 
 def test_wav_truncated_fmt_chunk_fails_cleanly(tmp_path):
@@ -351,14 +356,14 @@ def test_wav_truncated_fmt_chunk_fails_cleanly(tmp_path):
     assert native.decode_wav_prepared(p, 1, 8000) is None
 
 
-def test_wav_lying_size_in_spec_batch(tmp_path):
-    """The fused decode+spectrogram batch path shares read_wav_file; a lying
-    header must surface as rate 0 for that item only."""
+def test_wav_garbage_in_spec_batch(tmp_path):
+    """The fused decode+spectrogram batch path shares read_wav_file; an
+    unreadable file must surface as rate 0 for that item only."""
     good = tmp_path / "good.wav"
     sr = 22050
     write_wav(good, np.zeros(sr, np.float64), sr)
     bad = tmp_path / "bad.wav"
-    bad.write_bytes(_wav_bytes(data_size=0x7FFFFFF0))
+    bad.write_bytes(b"RIFFgarbage-not-a-wave-file")
     nperseg, noverlap, seconds = 512, 1, 1
     wav_len = sr * seconds
     frames = (wav_len - noverlap) // (nperseg - noverlap)
@@ -397,3 +402,15 @@ def test_giant_jpeg_header_rejected(tmp_path):
     assert native.decode_jpeg_shortest(p, 256, crop=224) is None
     out, ok = native.decode_jpeg_shortest_batch([p], 256, 224, threads=2)
     assert list(ok) == [0]
+
+
+def test_extreme_aspect_jpeg_header_rejected(tmp_path):
+    """A 2x30000 SOF claim passes the 100 MP *source* cap but its
+    shortest-side resize target (224 x 3.36M) would be gigabytes — the
+    target-dims cap must decline it in every decode path."""
+    p = _giant_sof_jpeg(tmp_path, h=2, w=30000)
+    assert native.decode_jpeg_shortest(p, 224, crop=224) is None
+    assert native.decode_jpeg_shortest(p, 224, crop=0) is None  # py-side cap
+    out, ok = native.decode_jpeg_shortest_batch([p], 224, 224, threads=2)
+    assert list(ok) == [0]
+    assert native.decode_clip_train([p, p], 224, 64, 0, 0, threads=2) is None
