@@ -101,7 +101,12 @@ bool read_wav_file(const char* path, WavData* out) {
     }
   }
   fclose(f);
-  if (!samplerate || !channels || data.empty()) return false;
+  // samplerate is an untrusted uint32: a huge claim casts negative through
+  // static_cast<int> below, and a negative rate makes prepare_into's fill
+  // negative -> memset before the output buffer (fuzzer-found segfault).
+  // 1 MHz is far beyond any audio source; reject instead of trusting.
+  if (!samplerate || samplerate > 1'000'000u || !channels || data.empty())
+    return false;
 
   size_t n_frames;
   std::vector<float> mono;
@@ -156,7 +161,9 @@ bool read_wav_file(const char* path, WavData* out) {
 void prepare_into(const WavData& wav, int seconds, float* out, int64_t out_len) {
   const int64_t target = static_cast<int64_t>(wav.samplerate) * seconds;
   const int64_t n = static_cast<int64_t>(wav.samples.size());
-  const int64_t fill = std::min(target, out_len);
+  // clamp below as well: a negative target (hostile samplerate, negative
+  // seconds) must zero-fill, never index before the buffer
+  const int64_t fill = std::max<int64_t>(0, std::min(target, out_len));
   if (n == 0) {
     memset(out, 0, out_len * sizeof(float));
     return;
