@@ -3,11 +3,14 @@
 Builds on first use if the shared library is missing (g++ + libjpeg are part
 of the toolchain); every entry point has a pure-Python fallback in
 avtubes.data, so the framework degrades gracefully without a compiler.
+Set AVTUBES_NO_NATIVE=1 to force the Python fallbacks (debugging a decode
+discrepancy, platforms without a toolchain, A/B parity runs).
 """
 
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -60,6 +63,9 @@ def get_lib():
     with _lock:
         if _lib is not None or _tried:
             return _lib
+        if os.environ.get("AVTUBES_NO_NATIVE"):
+            _tried = True  # force the Python fallbacks for this process
+            return None
         _tried = True
         src = _DIR / "avtubes_io.cc"
         # src may be absent in a pruned/packaged install with only the .so
