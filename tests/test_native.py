@@ -414,3 +414,29 @@ def test_extreme_aspect_jpeg_header_rejected(tmp_path):
     out, ok = native.decode_jpeg_shortest_batch([p], 224, 224, threads=2)
     assert list(ok) == [0]
     assert native.decode_clip_train([p, p], 224, 64, 0, 0, threads=2) is None
+
+
+def test_extreme_geometry_decode_matches_pil(tmp_path):
+    """Degenerate source geometries through the fused decode+resize paths:
+    1-pixel-tall/wide images and upscaling (short_side > source) exercise
+    the max(1, round()) dim floors and cubic border clamps."""
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    cases = [(1, 1), (1, 64), (64, 1), (3, 97), (16, 16)]
+    for i, (h, w) in enumerate(cases):
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        p = tmp_path / f"g{i}.jpg"
+        Image.fromarray(img).save(p, quality=95)
+        for short in (8, 48):  # down- and up-scaling
+            ours = native.decode_jpeg_shortest(p, short, crop=0, scaled=False)
+            assert ours is not None, (h, w, short)
+            ref_img = Image.open(p).convert("RGB")
+            rh, rw = native.shortest_side_dims(h, w, short)
+            ref = np.asarray(ref_img.resize((rw, rh), Image.BICUBIC))
+            assert ours.shape == ref.shape, (h, w, short)
+            diff = np.abs(ours.astype(int) - ref.astype(int))
+            assert diff.max() <= 1, (h, w, short, diff.max())
+        # center-crop larger than the resized extent: zero-padded border
+        cropped = native.decode_jpeg_shortest(p, 8, crop=32, scaled=False)
+        assert cropped is not None and cropped.shape == (32, 32, 3)
