@@ -102,3 +102,25 @@ def test_profile_cli_smoke(tmp_path):
                   "--audio_seconds", "1", "--logdir", str(tmp_path / "tr")])
     assert len(times) == 2 and all(t > 0 for t in times)
     assert any((tmp_path / "tr").rglob("*.xplane.pb"))
+
+
+def test_doctor_synthetic_tree(tmp_path, capsys):
+    from avtubes.cli.doctor import main
+    from avtubes.data.synthetic import write_synthetic_dataset
+
+    write_synthetic_dataset(tmp_path, n_videos=2)
+    rc = main(["--data_path", str(tmp_path), "--og_data_path", str(tmp_path),
+               "--metadata_dir", str(tmp_path / "metadata"),
+               "--skip_jax", "--spot", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "doctor: OK" in out
+    assert out.count("[PASS]") >= 3
+
+
+def test_doctor_fails_on_missing_tree(tmp_path, capsys):
+    from avtubes.cli.doctor import main
+
+    (tmp_path / "videos").mkdir()
+    rc = main(["--data_path", str(tmp_path), "--skip_jax"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "doctor: FAIL" in out
