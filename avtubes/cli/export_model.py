@@ -13,6 +13,11 @@ Usage:
 equivalent (4x4/s1 over s2d(2) input) before export — same math, ~10%
 faster TPU inference.
 
+`--quant int8` exports with int8 inference convs (dynamic per-tensor
+activation + per-channel weight quantization; the MXU's int8 path is 2x
+its bf16 peak).  Unlike --s2d this is an approximation — validate cIoU on
+your eval set before serving it.
+
 Smoke:  python -m avtubes.cli.export_model --synthetic --image_size 64 \
             --summaries_dir /tmp/ckpts --out /tmp/model.avt --platforms cpu
 """
@@ -47,6 +52,9 @@ def main(argv=None):
     platforms = tuple(platforms.split(",")) if platforms else None
     batch = take("--batch", "b")
     batch = int(batch) if batch.isdigit() else batch
+    quant = take("--quant")
+    if quant not in (None, "int8"):
+        raise SystemExit(f"--quant supports only 'int8', got {quant!r}")
     s2d = "--s2d" in argv
     if s2d:
         argv.remove("--s2d")
@@ -86,7 +94,17 @@ def main(argv=None):
             cfg.optim)
         state = s2d_state.replace(params=conv["params"],
                                   batch_stats=conv["batch_stats"])
+        model = s2d_model
         print("converted stems to space-to-depth layout")
+
+    if quant == "int8":
+        # QuantConv shares the plain conv's parameter tree, so only the
+        # apply function changes — the checkpoint's weights are reused as-is
+        import dataclasses
+
+        state = state.replace(
+            apply_fn=dataclasses.replace(model, quant_int8=True).apply)
+        print("exporting with int8 inference convs")
 
     blob = export_localizer(state, spec_cfg, batch=batch,
                             image_size=d.image_size, platforms=platforms)

@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--samplerate", default=22050, type=int)
     p.add_argument("--audio_seconds", default=10, type=int)
     p.add_argument("--logdir", default="/tmp/avtubes_trace", type=str)
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="infer mode only: int8 QuantConv backbones")
     a = p.parse_args(argv)
 
     from avtubes.core.cache import enable_compilation_cache
@@ -86,7 +88,8 @@ def main(argv=None):
         from avtubes.evaluation.postprocess import heatmap_to_mask_batch
 
         b = a.batch_size or 128
-        model = AVENet(dtype=jnp.bfloat16, s2d_stem=True)
+        model = AVENet(dtype=jnp.bfloat16, s2d_stem=True,
+                       quant_int8=(a.quant == "int8"))
         variables = jax.jit(lambda r: model.init(
             r, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1)),
             train=False))(jax.random.PRNGKey(0))

@@ -26,6 +26,9 @@ class AVENet(nn.Module):
     hardway: HardwayConfig = HardwayConfig()
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False  # space-to-depth stems (exact transform; faster on TPU)
+    quant_int8: bool = False  # int8 inference convs in both backbones
+    #                           (serving-only; checkpoints interchangeable
+    #                           with the plain model — see QuantConv)
     remat: bool = False     # checkpoint the backbones: recompute activations in
     #                         backward instead of stashing them (HBM for FLOPs —
     #                         fits the reference bs=20 x 16-frame x 2-view recipe
@@ -35,9 +38,11 @@ class AVENet(nn.Module):
         # static_argnums=(2,) = the `train` flag of ResNet2D.__call__
         net = nn.remat(ResNet2D, static_argnums=(2,)) if self.remat else ResNet2D
         self.imgnet = net(modal="vision", dtype=self.dtype,
-                          s2d_stem=self.s2d_stem, name="imgnet")
+                          s2d_stem=self.s2d_stem, quant_int8=self.quant_int8,
+                          name="imgnet")
         self.audnet = net(modal="audio", dtype=self.dtype,
-                          s2d_stem=self.s2d_stem, name="audnet")
+                          s2d_stem=self.s2d_stem, quant_int8=self.quant_int8,
+                          name="audnet")
 
     def encode_image(self, image, train: bool = True) -> jnp.ndarray:
         """(B, H, W, 3) -> (B, H/16, W/16, 512) spatial features."""

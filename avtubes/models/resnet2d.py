@@ -46,6 +46,16 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
 STEM_CHANNELS = {"vision": 3, "audio": 1, "flow": 6}
 
 
+def _conv_cls(quant_int8: bool):
+    """Conv module factory: plain bias-free nn.Conv, or the int8 QuantConv
+    (identical parameter tree — checkpoints are interchangeable)."""
+    import functools
+
+    if quant_int8:
+        return QuantConv
+    return functools.partial(nn.Conv, use_bias=False)
+
+
 def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/b, W/b, C*b*b); odd trailing rows/cols are
     zero-padded first (audio spectrograms have odd extents)."""
@@ -75,6 +85,53 @@ def stem_kernel_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
     return k
 
 
+class QuantConv(nn.Module):
+    """Int8 inference conv, drop-in for `nn.Conv(use_bias=False)`.
+
+    Same parameter tree (one f32 "kernel" of HWIO shape), so a checkpoint
+    trained with the plain model applies unchanged.  At call time the kernel
+    is quantized per-output-channel and the activation per-tensor (dynamic,
+    symmetric, +-127 levels), the conv runs int8 x int8 -> int32 on the MXU's
+    double-rate int8 path, and the int32 result is rescaled back.  Zero
+    padding is exact under symmetric quantization (0 -> 0).
+
+    Inference-only: `jnp.round` has zero gradient, so training through this
+    module silently learns nothing — the model guards against it.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: int | tuple = 0
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = conv_init
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        # per-output-channel weight scale (constant-folds at compile time
+        # when the weights are baked, e.g. in a serving export)
+        sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.round(kernel / sw).astype(jnp.int8)
+        # per-tensor dynamic activation scale: one extra pass over the conv
+        # input; these convs are MXU-bound, not bandwidth-bound
+        x = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+        xq = jnp.round(x / sx).astype(jnp.int8)  # |x|/sx <= 127 by construction
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=self.strides, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs with identity/projection shortcut (ResNet v1 basic block)."""
 
@@ -82,6 +139,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     bn_scale_noise: bool = True  # N(1, .02) BN scale (AVENet re-init) vs 1
+    quant_int8: bool = False     # int8 inference convs (QuantConv)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -95,18 +153,19 @@ class BasicBlock(nn.Module):
             scale_init=scale_init,
             name=name,
         )
+        conv = _conv_cls(self.quant_int8)
         identity = x
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, kernel_init=conv_init,
-                    dtype=self.dtype, name="conv1")(x)
+        y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=1, kernel_init=conv_init,
+                 dtype=self.dtype, name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.filters, (3, 3), padding=1,
+                 kernel_init=conv_init, dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.filters:
-            identity = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, kernel_init=conv_init,
-                               dtype=self.dtype, name="downsample_conv")(x)
+            identity = conv(self.filters, (1, 1), strides=(self.stride, self.stride),
+                            kernel_init=conv_init,
+                            dtype=self.dtype, name="downsample_conv")(x)
             identity = norm("downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -128,6 +187,9 @@ class ResNet2D(nn.Module):
     #   re-init (`model.py:108-110`).  The reference applies it ONLY inside
     #   AVENet.__init__; FullModel's 2D audnet keeps torch's constant-1
     #   default, so the 3D path builds this module with False.
+    quant_int8: bool = False  # int8 inference convs (2x MXU peak on v5e);
+    #   same parameter tree as the plain model — apply a trained checkpoint
+    #   unchanged.  Inference-only (QuantConv's round has zero gradient).
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -137,18 +199,22 @@ class ResNet2D(nn.Module):
             raise ValueError(
                 f"modal={self.modal!r} expects {expected_c} input channels (NHWC), got {x.shape}"
             )
+        if self.quant_int8 and train:
+            raise ValueError("quant_int8 is inference-only (round() has zero "
+                             "gradient); train with the plain model")
         x = x.astype(self.dtype)
         scale_init = (bn_scale_init if self.bn_scale_noise
                       else nn.initializers.ones)
+        conv = _conv_cls(self.quant_int8)
         if self.s2d_stem:
             x = space_to_depth(x, 2)
-            x = nn.Conv(64, (4, 4), padding=((2, 1), (2, 1)), use_bias=False,
-                        kernel_init=conv_init, dtype=self.dtype,
-                        name=f"stem_{self.modal}_s2d")(x)
+            x = conv(64, (4, 4), padding=((2, 1), (2, 1)),
+                     kernel_init=conv_init, dtype=self.dtype,
+                     name=f"stem_{self.modal}_s2d")(x)
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                        kernel_init=conv_init, dtype=self.dtype,
-                        name=f"stem_{self.modal}")(x)
+            x = conv(64, (7, 7), strides=(2, 2), padding=3,
+                     kernel_init=conv_init, dtype=self.dtype,
+                     name=f"stem_{self.modal}")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, scale_init=scale_init, name="stem_bn")(x)
         x = nn.relu(x)
@@ -162,6 +228,7 @@ class ResNet2D(nn.Module):
                     stride=stride if j == 0 else 1,
                     dtype=self.dtype,
                     bn_scale_noise=self.bn_scale_noise,
+                    quant_int8=self.quant_int8,
                     name=f"layer{i + 1}_block{j}",
                 )(x, train=train)
         return x

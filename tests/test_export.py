@@ -58,7 +58,6 @@ def test_export_s2d_conversion_bit_identical():
     """Exporting after variables_to_s2d (the export_model --s2d path) must
     produce the same heatmaps as the plain-stem export: the s2d stem is an
     exact transform, so serving artifacts are interchangeable."""
-    import dataclasses
 
     from avtubes.models.avenet import variables_to_s2d
 

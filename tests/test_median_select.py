@@ -7,7 +7,6 @@ The postprocess binarizes at the value at sorted index k (reference
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from avtubes.evaluation.postprocess import heatmap_to_mask, heatmap_to_mask_batch

@@ -6,7 +6,6 @@ without g++/libjpeg and the A/B tool for decode-parity debugging.  The
 fallbacks run in subprocesses because get_lib() caches per process.
 """
 
-import json
 import os
 import subprocess
 import sys
