@@ -107,7 +107,8 @@ def main(argv=None):
         print("exporting with int8 inference convs")
 
     blob = export_localizer(state, spec_cfg, batch=batch,
-                            image_size=d.image_size, platforms=platforms)
+                            image_size=d.image_size, platforms=platforms,
+                            extra_meta={"s2d": s2d, "quant": quant})
     Path(out).write_bytes(blob)
     print(f"wrote {out} ({len(blob) / 1e6:.1f} MB, batch={batch}, "
           f"platforms={platforms or 'default'})")

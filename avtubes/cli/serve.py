@@ -1,0 +1,178 @@
+"""CLI: serve an exported localizer artifact over HTTP.
+
+Production inference endpoint for the `export_model` artifact (the
+reference keeps inference inside its training scripts; see
+`/root/reference/test.py:86-140` for the offline equivalent).  Concurrent
+requests are coalesced into batched device calls by
+`avtubes.core.serving.MicroBatcher` — on TPU the per-call dispatch
+round-trip dominates single-sample latency, so batching is the whole
+serving game.
+
+    python -m avtubes.cli.serve --model model.avt --port 8000 \
+        [--max_batch 8] [--batch_window_ms 5] [--no_warmup]
+
+API (JSON over HTTP):
+  POST /localize   {"image": <b64 JPEG/PNG>, "audio": <b64 WAV>}
+                   or {"image": ..., "pcm": <b64 float32 LE mono>,
+                       "samplerate": <int>}
+                   -> {"heatmap": [[...]], "mask_rle": [...],
+                       "mask_shape": [H, W], "box": [x0,y0,x1,y1]|null,
+                       "latency_ms": ...}
+  GET  /healthz    -> {"status": "ok", "model": {...}}
+  GET  /stats      -> micro-batcher counters (requests, batches,
+                      batch-size histogram, device time)
+
+Input contract (from the artifact header): images are decoded, shortest-
+side bicubic-resized and center-cropped to the export's image_size; audio
+is tiled/clipped to the export's samplerate x seconds exactly like the
+training pipeline (`avtubes.data.audio.prepare_waveform`); WAVs at a
+different samplerate are linearly resampled first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+
+def _prepare_audio(req: dict, samplerate: int, seconds: int) -> np.ndarray:
+    from avtubes.data.audio import parse_wav, prepare_waveform
+
+    if "audio" in req:
+        samples, sr = parse_wav(base64.b64decode(req["audio"]), name="request")
+    elif "pcm" in req:
+        samples = np.frombuffer(base64.b64decode(req["pcm"]), dtype="<f4")
+        sr = int(req.get("samplerate", samplerate))
+    else:
+        raise ValueError("request needs 'audio' (b64 WAV) or 'pcm' (b64 f32)")
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    if sr != samplerate:  # linear resample to the artifact's rate
+        n_out = max(1, int(round(samples.shape[0] * samplerate / sr)))
+        samples = np.interp(
+            np.linspace(0.0, samples.shape[0] - 1.0, n_out),
+            np.arange(samples.shape[0], dtype=np.float64), samples)
+    return prepare_waveform(samples, samplerate, seconds).astype(np.float32)
+
+
+def build_handler(batcher, meta: dict, request_timeout_s: float):
+    from avtubes.core.serving import mask_box, mask_to_rle
+    from avtubes.data.transforms import eval_frame_from_bytes
+
+    image_size = int(meta["image_size"])
+    samplerate = int(meta.get("samplerate") or 0)
+    num_samples = int(meta["num_samples"])
+    if not samplerate:  # headerless artifact: assume whole seconds @22050
+        samplerate = 22050 if num_samples % 22050 == 0 else num_samples
+    seconds = max(1, num_samples // samplerate)
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "avtubes-serve/1.0"
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # JSONL access log on stdout
+            print(json.dumps({"ts": time.time(), "client": self.client_address[0],
+                              "line": fmt % args}), flush=True)
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "model": meta})
+            elif self.path == "/stats":
+                self._json(200, batcher.snapshot())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/localize":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            t0 = time.monotonic()
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                frame = eval_frame_from_bytes(
+                    base64.b64decode(req["image"]), image_size)
+                wave = _prepare_audio(req, samplerate, seconds)
+                if wave.shape[0] != num_samples:
+                    wave = np.resize(wave, num_samples)
+            except (KeyError, ValueError, OSError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                mask, heatmap = batcher.submit(frame, wave,
+                                               timeout=request_timeout_s)
+            except TimeoutError as e:
+                self._json(503, {"error": str(e)})
+                return
+            except Exception as e:  # batch execution failed
+                self._json(500, {"error": repr(e)})
+                return
+            mask = np.asarray(mask)
+            self._json(200, {
+                "heatmap": np.asarray(heatmap, np.float64).round(6).tolist(),
+                "mask_rle": mask_to_rle(mask),
+                "mask_shape": list(mask.shape),
+                "box": mask_box(mask),
+                "latency_ms": round((time.monotonic() - t0) * 1e3, 2),
+            })
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--model", required=True, help="exported .avt artifact")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8000, type=int, help="0 = ephemeral")
+    p.add_argument("--max_batch", default=8, type=int)
+    p.add_argument("--batch_window_ms", default=5.0, type=float)
+    p.add_argument("--request_timeout_s", default=300.0, type=float,
+                   help="per-request wait on the batched device call; with "
+                        "--no_warmup the first request also pays the XLA "
+                        "compile, so keep this generous")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip precompiling the batch buckets at startup")
+    a = p.parse_args(argv)
+
+    from avtubes.core.cache import enable_compilation_cache
+    from avtubes.core.serving import ArtifactRunner, MicroBatcher
+
+    enable_compilation_cache()
+    runner = ArtifactRunner(Path(a.model).read_bytes(), max_batch=a.max_batch)
+    if not a.no_warmup:
+        t0 = time.monotonic()
+        runner.warmup()
+        print(f"warmed {len(runner.buckets)} batch buckets {runner.buckets} "
+              f"in {time.monotonic() - t0:.1f}s", flush=True)
+    batcher = MicroBatcher(runner, window_ms=a.batch_window_ms)
+    server = ThreadingHTTPServer(
+        (a.host, a.port), build_handler(batcher, runner.meta,
+                                        a.request_timeout_s))
+    print(f"serving {a.model} on http://{server.server_address[0]}:"
+          f"{server.server_address[1]} (image_size={runner.image_size}, "
+          f"num_samples={runner.num_samples})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,14 +50,25 @@ def _pipeline_fn(state, spec_cfg) -> Callable:
     return pipeline
 
 
+# Artifact container: a small self-describing header in front of the
+# serialized StableHLO so servers can recover the input contract (image
+# size, samplerate, audio length) without the export-time config.  Bare
+# `jax.export` payloads (pre-header artifacts) still load.
+_MAGIC = b"AVTMETA1"
+
+
 def export_localizer(state, spec_cfg, batch: int | str = "b",
                      image_size: int = 224,
-                     platforms: tuple[str, ...] | None = None) -> bytes:
+                     platforms: tuple[str, ...] | None = None,
+                     extra_meta: dict | None = None) -> bytes:
     """Serialize the inference pipeline to a portable StableHLO artifact.
 
     batch: an int for a fixed batch, or a dim-variable name (default "b")
     for a batch-polymorphic artifact.
     """
+    import json
+    import struct
+
     pipeline = _pipeline_fn(state, spec_cfg)
     if isinstance(batch, str):
         (bdim,) = jexport.symbolic_shape(batch)
@@ -67,11 +78,51 @@ def export_localizer(state, spec_cfg, batch: int | str = "b",
     waves_spec = jax.ShapeDtypeStruct((bdim, spec_cfg.num_samples), jnp.float32)
     exported = jexport.export(jax.jit(pipeline), platforms=platforms)(
         frames_spec, waves_spec)
-    return bytes(exported.serialize())
+    meta = {
+        "image_size": int(image_size),
+        "samplerate": int(spec_cfg.samplerate),
+        "seconds": int(spec_cfg.seconds),
+        "num_samples": int(spec_cfg.num_samples),
+        "batch": batch if isinstance(batch, int) else None,
+        "platforms": list(platforms) if platforms else None,
+        **(extra_meta or {}),
+    }
+    head = json.dumps(meta, sort_keys=True).encode()
+    return (_MAGIC + struct.pack("<I", len(head)) + head
+            + bytes(exported.serialize()))
+
+
+def load_artifact(blob: bytes):
+    """Deserialize an artifact into (callable, meta dict).
+
+    The callable maps (frames_uint8, waveforms) -> (masks, heatmaps).
+    Headerless (bare jax.export) payloads load with meta reconstructed
+    from the program's input avals (samplerate/seconds then unknown)."""
+    import json
+    import struct
+
+    if blob[: len(_MAGIC)] == _MAGIC:
+        (n,) = struct.unpack("<I", blob[len(_MAGIC) : len(_MAGIC) + 4])
+        meta = json.loads(blob[len(_MAGIC) + 4 : len(_MAGIC) + 4 + n])
+        payload = blob[len(_MAGIC) + 4 + n :]
+    else:
+        meta, payload = None, blob
+    exported = jexport.deserialize(payload)
+    frames_aval, waves_aval = exported.in_avals
+    b = frames_aval.shape[0]
+    derived = {
+        "image_size": int(frames_aval.shape[1]),
+        "num_samples": int(waves_aval.shape[1]),
+        "batch": int(b) if isinstance(b, int) else None,
+    }
+    if meta is None:
+        meta = derived
+    else:
+        meta.update(derived)  # the program is the ground truth for shapes
+    return jax.jit(exported.call), meta
 
 
 def load_localizer(blob: bytes) -> Callable:
     """Deserialize an exported artifact into a callable
     (frames_uint8, waveforms) -> (masks, heatmaps)."""
-    exported = jexport.deserialize(blob)
-    return jax.jit(exported.call)
+    return load_artifact(blob)[0]

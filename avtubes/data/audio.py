@@ -30,6 +30,13 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     """
     with open(path, "rb") as f:
         data = f.read()
+    return parse_wav(data, name=str(path))
+
+
+def parse_wav(data: bytes, name: str = "<bytes>") -> tuple[np.ndarray, int]:
+    """`read_wav` over an in-memory buffer (serving requests arrive as
+    bytes, not files).  Same output convention; `name` labels errors."""
+    path = name
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
 

@@ -151,6 +151,19 @@ def host_load_eval_frame(path, image_size: int = 224) -> np.ndarray:
     return host_center_crop(np.asarray(img), image_size)
 
 
+def eval_frame_from_bytes(data: bytes, image_size: int = 224) -> np.ndarray:
+    """`host_load_eval_frame` over an in-memory encoded image (serving
+    requests arrive as bytes, not files): decode -> shortest-side bicubic
+    resize -> center crop.  uint8 (size, size, 3)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(data)).convert("RGB")
+    img = host_resize_shortest(img, image_size)
+    return host_center_crop(np.asarray(img), image_size)
+
+
 def host_eval_clip(frames: np.ndarray, image_size: int = 224) -> np.ndarray:
     """Resize+center-crop an already-decoded (T,H,W,3) uint8 video (eval path)."""
     from PIL import Image

@@ -1,0 +1,259 @@
+"""Serving runtime: RLE wire format, batch buckets, micro-batcher, HTTP.
+
+The reference has no serving story; this pins the beyond-reference
+deployment path: exported artifact -> ArtifactRunner (power-of-two batch
+buckets) -> MicroBatcher (request coalescing) -> HTTP endpoint.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from avtubes.core.serving import (ArtifactRunner, MicroBatcher, mask_box,
+                                  mask_to_rle, rle_to_mask)
+
+# ------------------------------------------------------------- wire format
+
+
+def test_rle_roundtrip():
+    rng = np.random.default_rng(0)
+    for shape in [(1, 1), (7, 5), (224, 224)]:
+        for p in (0.0, 0.3, 1.0):
+            mask = (rng.random(shape) < p).astype(np.float32)
+            counts = mask_to_rle(mask)
+            assert sum(counts) == mask.size
+            assert all(c >= 0 for c in counts)
+            np.testing.assert_array_equal(rle_to_mask(counts, shape), mask)
+
+
+def test_rle_starts_with_zero_run():
+    counts = mask_to_rle(np.array([[1, 1, 0]], np.float32))
+    assert counts == [0, 2, 1]
+
+
+def test_mask_box():
+    m = np.zeros((10, 10))
+    assert mask_box(m) is None
+    m[2:5, 3:7] = 1
+    assert mask_box(m) == [3, 2, 6, 4]
+
+
+# ------------------------------------------------------- micro-batcher
+
+class _FakeRunner:
+    """Stands in for ArtifactRunner: records batch sizes, echoes inputs."""
+
+    max_batch = 4
+
+    def __init__(self, fail=False):
+        self.batches = []
+        self.fail = fail
+
+    def run(self, frames, waves):
+        if self.fail:
+            raise RuntimeError("device exploded")
+        self.batches.append(len(frames))
+        n = len(frames)
+        return (np.full((n, 2, 2), frames[:, 0, 0, 0, None, None], np.float32),
+                np.zeros((n, 2, 2), np.float32))
+
+
+def test_microbatcher_coalesces_concurrent_requests():
+    runner = _FakeRunner()
+    batcher = MicroBatcher(runner, window_ms=2000.0)
+    try:
+        results = [None] * 4
+        frame = lambda i: np.full((4, 4, 3), i, np.uint8)
+
+        def call(i):
+            results[i] = batcher.submit(frame(i), np.zeros(8, np.float32),
+                                        timeout=60.0)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # each caller got ITS result back, not a neighbor's
+        for i in range(4):
+            assert float(results[i][0][0, 0]) == float(i)
+        stats = batcher.snapshot()
+        assert stats["requests"] == 4
+        # max_batch=4 concurrent submits within a wide window -> coalesced
+        # batches, never 1-per-call (scheduling on a loaded 1-core host may
+        # split off early arrivals, so don't demand a single batch of 4)
+        assert stats["batches"] <= 3
+        assert max(runner.batches) >= 2
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_propagates_errors_and_keeps_serving():
+    runner = _FakeRunner(fail=True)
+    batcher = MicroBatcher(runner, window_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="device exploded"):
+            batcher.submit(np.zeros((4, 4, 3), np.uint8),
+                           np.zeros(8, np.float32), timeout=60.0)
+        runner.fail = False
+        mask, _ = batcher.submit(np.zeros((4, 4, 3), np.uint8),
+                                 np.zeros(8, np.float32), timeout=60.0)
+        assert mask.shape == (2, 2)
+        assert batcher.snapshot()["errors"] == 1
+    finally:
+        batcher.close()
+
+
+# ------------------------------------------------- artifact runner + HTTP
+
+IMG, SR, SEC = 64, 2000, 1
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    import jax
+    import jax.numpy as jnp
+
+    from avtubes.core.config import OptimConfig
+    from avtubes.core.export import export_localizer
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import AVENet
+    from avtubes.train.state import create_train_state
+
+    spec_cfg = SpectrogramConfig(samplerate=SR, seconds=SEC)
+    model = AVENet()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+        OptimConfig())
+    return export_localizer(state, spec_cfg, image_size=IMG,
+                            platforms=("cpu",))
+
+
+def test_artifact_meta_header(artifact):
+    from avtubes.core.export import load_artifact
+
+    fn, meta = load_artifact(artifact)
+    assert meta["image_size"] == IMG
+    assert meta["samplerate"] == SR
+    assert meta["num_samples"] == SR * SEC
+    assert meta["batch"] is None  # batch-polymorphic
+
+
+def test_runner_buckets_and_padding(artifact):
+    runner = ArtifactRunner(artifact, max_batch=4)
+    assert runner.buckets == [1, 2, 4]
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, IMG, IMG, 3), np.uint8)
+    waves = rng.random((3, SR * SEC), np.float32)
+    masks3, heat3 = runner.run(frames, waves)  # padded 3 -> 4
+    assert masks3.shape[0] == heat3.shape[0] == 3
+    # padding must not perturb real samples: same inputs at exact bucket 2
+    masks2, heat2 = runner.run(frames[:2], waves[:2])
+    np.testing.assert_allclose(heat2, heat3[:2], atol=1e-5)
+    # chunking above max_batch
+    masks6, _ = runner.run(np.tile(frames, (2, 1, 1, 1)),
+                           np.tile(waves, (2, 1)))
+    assert masks6.shape[0] == 6
+
+
+def _jpeg_b64(rng) -> str:
+    from PIL import Image
+
+    img = Image.fromarray(rng.integers(0, 255, (80, 96, 3), np.uint8), "RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _wav_b64(rng, samplerate: int, n: int) -> str:
+    import struct
+
+    pcm = (rng.random(n) * 2 - 1).astype(np.float64)
+    raw = (pcm * 32767).astype("<i2").tobytes()
+    head = (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, samplerate,
+                          samplerate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(raw)))
+    return base64.b64encode(head + raw).decode()
+
+
+@pytest.fixture(scope="module")
+def server(artifact):
+    from avtubes.cli.serve import build_handler
+
+    runner = ArtifactRunner(artifact, max_batch=2)
+    batcher = MicroBatcher(runner, window_ms=2.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), build_handler(batcher, runner.meta, 120.0))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    httpd.server_close()
+    batcher.close()
+
+
+def _post(url, obj, timeout=300.0):
+    req = urllib.request.Request(
+        url + "/localize", data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_localize_end_to_end(server):
+    rng = np.random.default_rng(0)
+    code, resp = _post(server, {"image": _jpeg_b64(rng),
+                                "audio": _wav_b64(rng, SR, SR * SEC)})
+    assert code == 200, resp
+    heat = np.asarray(resp["heatmap"])
+    assert heat.shape == (IMG // 16, IMG // 16)
+    assert np.isfinite(heat).all()
+    mask = rle_to_mask(resp["mask_rle"], tuple(resp["mask_shape"]))
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    box = resp["box"]
+    assert box is None or (len(box) == 4 and box[0] <= box[2])
+
+
+def test_http_resamples_mismatched_wav(server):
+    rng = np.random.default_rng(1)
+    code, resp = _post(server, {"image": _jpeg_b64(rng),
+                                "audio": _wav_b64(rng, 4000, 4000)})
+    assert code == 200, resp
+
+
+def test_http_pcm_input(server):
+    rng = np.random.default_rng(2)
+    pcm = (rng.random(SR * SEC).astype("<f4") * 2 - 1).tobytes()
+    code, resp = _post(server, {"image": _jpeg_b64(rng),
+                                "pcm": base64.b64encode(pcm).decode(),
+                                "samplerate": SR})
+    assert code == 200, resp
+
+
+def test_http_bad_request(server):
+    code, resp = _post(server, {"image": base64.b64encode(b"junk").decode(),
+                                "audio": base64.b64encode(b"junk").decode()})
+    assert code == 400
+    assert "error" in resp
+
+
+def test_http_health_and_stats(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["model"]["image_size"] == IMG
+    with urllib.request.urlopen(server + "/stats", timeout=60) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 3
+    assert stats["batches"] >= 1
