@@ -41,36 +41,58 @@ from pathlib import Path
 import numpy as np
 
 
-def _prepare_audio(req: dict, samplerate: int, seconds: int) -> np.ndarray:
-    from avtubes.data.audio import parse_wav, prepare_waveform
+def _prepare_audio(req: dict, samplerate: int | None,
+                   num_samples: int) -> np.ndarray:
+    """Decode request audio and fit it to the artifact's `num_samples`.
+
+    samplerate None = headerless legacy artifact with an unknown export
+    rate: the client's own rate is taken as authoritative (no resampling —
+    the reference pipeline never resamples either), and the waveform is
+    tiled/clipped straight to num_samples."""
+    from avtubes.data.audio import parse_wav
 
     if "audio" in req:
         samples, sr = parse_wav(base64.b64decode(req["audio"]), name="request")
     elif "pcm" in req:
+        if samplerate is None and "samplerate" not in req:
+            raise ValueError("'pcm' input needs an explicit 'samplerate'")
         samples = np.frombuffer(base64.b64decode(req["pcm"]), dtype="<f4")
-        sr = int(req.get("samplerate", samplerate))
+        sr = int(req.get("samplerate", samplerate or 0))
     else:
         raise ValueError("request needs 'audio' (b64 WAV) or 'pcm' (b64 f32)")
+    samples = np.asarray(samples, dtype=np.float64)
     if samples.ndim > 1:
         samples = samples.mean(axis=1)
-    if sr != samplerate:  # linear resample to the artifact's rate
+    if samples.shape[0] == 0:
+        raise ValueError("empty waveform")
+    if samplerate is not None and sr != samplerate:
+        # linear resample to the artifact's export rate
         n_out = max(1, int(round(samples.shape[0] * samplerate / sr)))
         samples = np.interp(
             np.linspace(0.0, samples.shape[0] - 1.0, n_out),
             np.arange(samples.shape[0], dtype=np.float64), samples)
-    return prepare_waveform(samples, samplerate, seconds).astype(np.float32)
+    # reference fixed-length policy (prepare_waveform) against num_samples
+    if samples.shape[0] < num_samples:
+        samples = np.tile(samples, int(num_samples / samples.shape[0]) + 1)
+    return np.clip(samples[:num_samples], -1.0, 1.0).astype(np.float32)
 
 
-def build_handler(batcher, meta: dict, request_timeout_s: float):
+def build_handler(batcher, meta: dict, request_timeout_s: float,
+                  max_request_mb: float = 64.0):
+    import binascii
+
     from avtubes.core.serving import mask_box, mask_to_rle
     from avtubes.data.transforms import eval_frame_from_bytes
 
     image_size = int(meta["image_size"])
-    samplerate = int(meta.get("samplerate") or 0)
     num_samples = int(meta["num_samples"])
-    if not samplerate:  # headerless artifact: assume whole seconds @22050
-        samplerate = 22050 if num_samples % 22050 == 0 else num_samples
-    seconds = max(1, num_samples // samplerate)
+    samplerate = meta.get("samplerate")
+    samplerate = int(samplerate) if samplerate else None
+    if samplerate is None:
+        print("WARNING: headerless artifact (unknown export samplerate); "
+              "request audio is used at its own rate without resampling",
+              flush=True)
+    max_body = int(max_request_mb * 1e6)
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "avtubes-serve/1.0"
@@ -97,19 +119,29 @@ def build_handler(batcher, meta: dict, request_timeout_s: float):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            t0 = time.monotonic()
+            length = int(self.headers.get("Content-Length", 0))
+            if length > max_body:
+                # body is left unread: close the connection rather than
+                # buffer an attacker-sized payload
+                self.close_connection = True
+                self._json(413, {"error": f"request body {length} bytes "
+                                          f"exceeds limit {max_body}"})
+                return
+            body = self.rfile.read(length)  # always drain: keep-alive
+            #                                 connections desync otherwise
             if self.path != "/localize":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
-            t0 = time.monotonic()
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length))
+                req = json.loads(body)
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 frame = eval_frame_from_bytes(
                     base64.b64decode(req["image"]), image_size)
-                wave = _prepare_audio(req, samplerate, seconds)
-                if wave.shape[0] != num_samples:
-                    wave = np.resize(wave, num_samples)
-            except (KeyError, ValueError, OSError, json.JSONDecodeError) as e:
+                wave = _prepare_audio(req, samplerate, num_samples)
+            except (KeyError, TypeError, ValueError, OSError,
+                    binascii.Error, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
             try:
@@ -144,6 +176,8 @@ def main(argv=None):
                    help="per-request wait on the batched device call; with "
                         "--no_warmup the first request also pays the XLA "
                         "compile, so keep this generous")
+    p.add_argument("--max_request_mb", default=64.0, type=float,
+                   help="reject request bodies larger than this with 413")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip precompiling the batch buckets at startup")
     a = p.parse_args(argv)
@@ -161,7 +195,8 @@ def main(argv=None):
     batcher = MicroBatcher(runner, window_ms=a.batch_window_ms)
     server = ThreadingHTTPServer(
         (a.host, a.port), build_handler(batcher, runner.meta,
-                                        a.request_timeout_s))
+                                        a.request_timeout_s,
+                                        a.max_request_mb))
     print(f"serving {a.model} on http://{server.server_address[0]}:"
           f"{server.server_address[1]} (image_size={runner.image_size}, "
           f"num_samples={runner.num_samples})", flush=True)

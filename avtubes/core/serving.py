@@ -140,13 +140,15 @@ class ArtifactRunner:
 
 
 class _Pending:
-    __slots__ = ("frame", "wave", "event", "mask", "heatmap", "error")
+    __slots__ = ("frame", "wave", "event", "mask", "heatmap", "error",
+                 "cancelled")
 
     def __init__(self, frame, wave):
         self.frame = frame
         self.wave = wave
         self.event = threading.Event()
         self.mask = self.heatmap = self.error = None
+        self.cancelled = False
 
 
 class MicroBatcher:
@@ -164,7 +166,8 @@ class MicroBatcher:
         self._queue: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
-                      "batch_hist": {}, "device_ms_total": 0.0}
+                      "cancelled": 0, "batch_hist": {},
+                      "device_ms_total": 0.0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="avtubes-microbatch")
         self._thread.start()
@@ -176,6 +179,13 @@ class MicroBatcher:
         p = _Pending(frame, wave)
         self._queue.put(p)
         if not p.event.wait(timeout):
+            # mark abandoned so the dispatcher drops it instead of burning
+            # device time on a request whose client already saw a timeout
+            # (under overload, executing zombies turns a transient spike
+            # into a sustained one)
+            p.cancelled = True
+            with self._lock:
+                self.stats["cancelled"] = self.stats.get("cancelled", 0) + 1
             raise TimeoutError("localization request timed out")
         if p.error is not None:
             raise p.error
@@ -210,6 +220,9 @@ class MicroBatcher:
             self._run_batch(batch)
 
     def _run_batch(self, batch: list[_Pending]) -> None:
+        batch = [p for p in batch if not p.cancelled]
+        if not batch:
+            return
         t0 = time.monotonic()
         try:
             masks, heatmaps = self.runner.run(

@@ -90,10 +90,16 @@ class QuantConv(nn.Module):
 
     Same parameter tree (one f32 "kernel" of HWIO shape), so a checkpoint
     trained with the plain model applies unchanged.  At call time the kernel
-    is quantized per-output-channel and the activation per-tensor (dynamic,
+    is quantized per-output-channel and the activation per-SAMPLE (dynamic,
     symmetric, +-127 levels), the conv runs int8 x int8 -> int32 on the MXU's
     double-rate int8 path, and the int32 result is rescaled back.  Zero
     padding is exact under symmetric quantization (0 -> 0).
+
+    The activation scale must not cross the batch axis: the serving path
+    coalesces unrelated requests into one batch and zero-pads it to a
+    bucket, so a per-tensor max would make each sample's output depend on
+    its co-batched neighbors (nondeterministic serving).  Per-sample scales
+    cost the same one reduction pass and keep samples independent.
 
     Inference-only: `jnp.round` has zero gradient, so training through this
     module silently learns nothing — the model guards against it.
@@ -120,10 +126,11 @@ class QuantConv(nn.Module):
         # when the weights are baked, e.g. in a serving export)
         sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
         wq = jnp.round(kernel / sw).astype(jnp.int8)
-        # per-tensor dynamic activation scale: one extra pass over the conv
+        # per-sample dynamic activation scale: one extra pass over the conv
         # input; these convs are MXU-bound, not bandwidth-bound
         x = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+        sx = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True),
+                         1e-12) / 127.0
         xq = jnp.round(x / sx).astype(jnp.int8)  # |x|/sx <= 127 by construction
         y = jax.lax.conv_general_dilated(
             xq, wq, window_strides=self.strides, padding=pad,

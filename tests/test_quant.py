@@ -56,6 +56,24 @@ def test_quant_composes_with_s2d(shared):
     assert np.abs(hp - hq).max() < 0.02
 
 
+def test_quant_per_sample_scale_batch_independence(shared):
+    """A sample's quantized output must not depend on its co-batched
+    neighbors: the serving path coalesces unrelated requests and zero-pads
+    batches, so activation scales are per-sample, not per-tensor."""
+    _, variables, img, aud = shared
+    qmodel = AVENet(quant_int8=True)
+    solo = qmodel.apply(variables, img[:1], aud[:1], train=False)
+    # co-batch with a 50x-amplitude neighbor (would wreck a shared scale)
+    loud = qmodel.apply(variables,
+                        jnp.concatenate([img[:1], img[1:] * 50.0]),
+                        jnp.concatenate([aud[:1], aud[1:] * 50.0]),
+                        train=False)
+    # tolerance covers batch-1 vs batch-2 program fusion differences only;
+    # a shared (per-tensor) scale would be off by ~1e-1 here
+    np.testing.assert_allclose(np.asarray(loud.heatmap[:1]),
+                               np.asarray(solo.heatmap), atol=5e-5)
+
+
 def test_quant_train_raises(shared):
     _, variables, img, aud = shared
     with pytest.raises(ValueError, match="inference-only"):

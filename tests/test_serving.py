@@ -6,9 +6,11 @@ buckets) -> MicroBatcher (request coalescing) -> HTTP endpoint.
 """
 
 import base64
+import http.client
 import io
 import json
 import threading
+import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -110,6 +112,48 @@ def test_microbatcher_propagates_errors_and_keeps_serving():
         batcher.close()
 
 
+def test_microbatcher_drops_timed_out_requests():
+    """A request whose client timed out must not burn device time later."""
+    gate = threading.Event()
+    runner = _FakeRunner()
+    real_run = runner.run
+
+    def gated_run(frames, waves):
+        gate.wait(30.0)
+        return real_run(frames, waves)
+
+    runner.run = gated_run
+    batcher = MicroBatcher(runner, window_ms=1.0)
+    try:
+        # A occupies the dispatcher (blocked in run); B times out while
+        # queued; C stays live.  When the dispatcher assembles the next
+        # batch, the cancelled B must be dropped.
+        t_a = threading.Thread(target=lambda: batcher.submit(
+            np.zeros((4, 4, 3), np.uint8), np.zeros(8, np.float32),
+            timeout=30.0))
+        t_a.start()
+        time.sleep(0.2)  # let the dispatcher dequeue A and block
+        with pytest.raises(TimeoutError):
+            batcher.submit(np.full((4, 4, 3), 1, np.uint8),
+                           np.zeros(8, np.float32), timeout=0.05)
+        done_c = []
+        t_c = threading.Thread(target=lambda: done_c.append(batcher.submit(
+            np.full((4, 4, 3), 2, np.uint8), np.zeros(8, np.float32),
+            timeout=30.0)))
+        t_c.start()
+        gate.set()
+        t_a.join()
+        t_c.join()
+        assert done_c and float(done_c[0][0][0, 0]) == 2.0
+        stats = batcher.snapshot()
+        assert stats["cancelled"] == 1
+        # the zombie B (fill value 1) never reached the device
+        assert stats["requests"] == 2
+    finally:
+        gate.set()
+        batcher.close()
+
+
 # ------------------------------------------------- artifact runner + HTTP
 
 IMG, SR, SEC = 64, 2000, 1
@@ -191,7 +235,8 @@ def server(artifact):
     runner = ArtifactRunner(artifact, max_batch=2)
     batcher = MicroBatcher(runner, window_ms=2.0)
     httpd = ThreadingHTTPServer(
-        ("127.0.0.1", 0), build_handler(batcher, runner.meta, 120.0))
+        ("127.0.0.1", 0),
+        build_handler(batcher, runner.meta, 120.0, max_request_mb=0.5))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -246,6 +291,46 @@ def test_http_bad_request(server):
                                 "audio": base64.b64encode(b"junk").decode()})
     assert code == 400
     assert "error" in resp
+
+
+def test_http_non_dict_and_non_string_bodies(server):
+    """Malformed-but-valid-JSON bodies must 400, not kill the connection."""
+    code, resp = _post(server, [1, 2, 3])
+    assert code == 400 and "error" in resp
+    code, resp = _post(server, {"image": 123, "audio": 456})
+    assert code == 400 and "error" in resp
+
+
+def test_http_oversized_body_413(server):
+    rng = np.random.default_rng(3)
+    big = base64.b64encode(rng.bytes(700_000)).decode()  # > 0.5 MB cap
+    try:
+        code, resp = _post(server, {"image": big, "audio": big})
+        assert code == 413 and "error" in resp
+    except (ConnectionError, urllib.error.URLError):
+        pass  # server may close mid-upload rather than drain the body
+    # either way the server must still be alive and sane afterwards
+    with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_http_keepalive_survives_wrong_path_post(server):
+    """POSTing a body to an unknown path must drain the body, keeping the
+    persistent connection usable for the next request."""
+    host = server.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=120)
+    try:
+        conn.request("POST", "/nope", body=json.dumps({"x": 1}),
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        conn.request("GET", "/healthz")  # same socket
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["status"] == "ok"
+    finally:
+        conn.close()
 
 
 def test_http_health_and_stats(server):
