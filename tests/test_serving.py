@@ -333,6 +333,27 @@ def test_http_keepalive_survives_wrong_path_post(server):
         conn.close()
 
 
+def test_loadtest_tool_against_live_server(server, capsys):
+    """The capacity-planning CLI sweeps the live endpoint and reports
+    throughput + latency percentiles + the server's batch histogram."""
+    from avtubes.tools.loadtest import main
+
+    main(["--url", server, "--concurrency", "1,2", "--requests", "4",
+          "--payloads", "2", "--timeout_s", "300"])
+    # the in-process server's JSONL access log shares stdout: filter by key
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    server_line = next(l for l in lines if "server" in l)
+    assert server_line["server"]["image_size"] == IMG
+    levels = [l for l in lines if "concurrency" in l]
+    assert len(levels) == 2
+    for level in levels:
+        assert level["errors"] == 0
+        assert level["ok"] == 4
+        assert level["requests_per_sec"] > 0
+        assert level["p50_ms"] > 0
+        assert level["server_stats"]["batches"] >= 1
+
+
 def test_http_health_and_stats(server):
     with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
         health = json.loads(r.read())
