@@ -293,3 +293,132 @@ def test_converter_covers_all_backbone_tensors(reference_avenet, tmp_path):
                  or k.startswith("audnet.conv1_a"))
     # exact accounting is fiddly; assert we imported the overwhelming majority
     assert n_ours >= 0.9 * sum(1 for k in sd if "num_batches_tracked" not in k) - 8
+
+
+# --- torch EXPORT (core/torch_export.py): the reverse direction -------------
+
+_DEAD = ("fc.", "num_batches_tracked", "imgnet.conv1_a.", "imgnet.conv1_flow.",
+         "audnet.conv1.", "audnet.conv1_flow.")  # tensors the forward ignores
+
+
+def test_torch_export_roundtrip_strict(reference_avenet, tmp_path):
+    """import(ref ckpt) -> export -> strict-load into a FRESH reference
+    AVENet: the exported file must have the exact reference key set, every
+    live tensor bit-equal to the original, and the clone's forward must
+    bit-match the original model (the synthesized dead tensors are inert)."""
+    from avtubes.core.torch_export import avenet_to_torch, save_torch_checkpoint
+    from avtubes.core.torch_import import avenet_from_torch
+
+    ckpt = tmp_path / "ref.pth.tar"
+    torch.save({"model_state_dict": reference_avenet.state_dict()}, ckpt)
+    variables = avenet_from_torch(ckpt)
+
+    sd = avenet_to_torch(variables, strict=True)
+    out = save_torch_checkpoint(tmp_path / "exported.pth.tar", sd, epoch=7)
+    blob = torch.load(out, map_location="cpu", weights_only=False)
+    assert blob["epoch"] == 7 and "optimizer_state_dict" in blob
+    exported = blob["model_state_dict"]
+
+    orig = reference_avenet.state_dict()
+    assert set(exported) == set(orig)
+    live = 0
+    for k, v in orig.items():
+        if any(d in k for d in _DEAD):
+            continue
+        np.testing.assert_array_equal(exported[k].numpy(), v.numpy(),
+                                      err_msg=k)
+        live += 1
+    assert live >= 100  # 2 backbones x (stem + 8 blocks x 2convs+2bns + ...)
+
+    import importlib
+
+    ref_model = importlib.import_module("model")
+
+    class Args:
+        epsilon, epsilon2, tri_map, Neg = 0.65, 0.4, True, True
+
+    torch.manual_seed(123)  # different init from the fixture on purpose
+    clone = ref_model.AVENet(Args(), pretrained=False)
+    clone.eval()
+    clone.load_state_dict(exported, strict=True)
+
+    rng = np.random.RandomState(5)
+    image = torch.tensor(rng.randn(2, 3, 96, 96).astype(np.float32))
+    audio = torch.tensor(rng.randn(2, 1, 96, 96).astype(np.float32))
+    with torch.no_grad():
+        a0 = reference_avenet(image, audio)
+        a1 = clone(image, audio)
+    for t0, t1 in zip(a0, a1):
+        np.testing.assert_array_equal(t0.numpy(), t1.numpy())
+
+
+def test_torch_export_import_is_identity(tmp_path):
+    """export(flax init) then import must reproduce the flax tree exactly
+    (covers the inverse name map + HWIO<->OIHW transposes without needing
+    the reference)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avtubes.core.torch_export import avenet_to_torch, save_torch_checkpoint
+    from avtubes.core.torch_import import avenet_from_torch
+    from avtubes.models import AVENet
+
+    variables = AVENet().init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1)), train=False)
+    variables = jax.device_get(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]})
+
+    path = save_torch_checkpoint(
+        tmp_path / "rt.pth.tar", avenet_to_torch(variables, strict=True))
+    back = avenet_from_torch(path)
+
+    leaves0, tree0 = jax.tree_util.tree_flatten(variables)
+    leaves1, tree1 = jax.tree_util.tree_flatten(back)
+    assert tree0 == tree1
+    for l0, l1 in zip(leaves0, leaves1):
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_torch_export_fullmodel_strict_load(tmp_path):
+    """FullModel (3D tubes) round trip: ref -> flax -> ref, strict load,
+    bit-identical forward."""
+    from avtubes.core.torch_export import (fullmodel_to_torch,
+                                           save_torch_checkpoint)
+    from avtubes.core.torch_import import fullmodel_from_torch
+
+    sys.path.insert(0, str(REFERENCE))
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    import importlib
+
+    ref_model_mod = importlib.import_module("model")
+
+    class Args:
+        pass
+
+    torch.manual_seed(4)
+    ref = ref_model_mod.FullModel(Args())
+    ref.eval()
+    ckpt = tmp_path / "full.pth.tar"
+    torch.save({"model_state_dict": ref.state_dict()}, ckpt)
+
+    sd = fullmodel_to_torch(fullmodel_from_torch(ckpt), strict=True)
+    out = save_torch_checkpoint(tmp_path / "full_exported.pth.tar", sd)
+    exported = torch.load(out, map_location="cpu",
+                          weights_only=False)["model_state_dict"]
+    assert set(exported) == set(ref.state_dict())
+
+    torch.manual_seed(99)
+    clone = ref_model_mod.FullModel(Args())
+    clone.eval()
+    clone.load_state_dict(exported, strict=True)
+
+    rng = np.random.RandomState(6)
+    video = torch.tensor(rng.randn(2, 3, 2, 64, 64).astype(np.float32))
+    audio = torch.tensor(rng.randn(4, 1, 64, 64).astype(np.float32))
+    with torch.no_grad():
+        a0 = ref(audio, video)
+        a1 = clone(audio, video)
+    for t0, t1 in zip(a0, a1):
+        np.testing.assert_array_equal(t0.numpy(), t1.numpy())
