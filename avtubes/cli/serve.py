@@ -9,7 +9,12 @@ round-trip dominates single-sample latency, so batching is the whole
 serving game.
 
     python -m avtubes.cli.serve --model model.avt --port 8000 \
-        [--max_batch 8] [--batch_window_ms 5] [--no_warmup]
+        [--max_batch 8] [--batch_window_ms 5] [--no_warmup] [--shard]
+
+`--shard` runs each batched call data-parallel over every local device
+(`core.serving.ShardedArtifactRunner`): the single-device program is
+shard_map'd over a 1-D mesh, so multi-chip hosts serve at ~chip-count x
+the single-chip rate without re-exporting the artifact.
 
 API (JSON over HTTP):
   POST /localize   {"image": <b64 JPEG/PNG>, "audio": <b64 WAV>}
@@ -180,13 +185,22 @@ def main(argv=None):
                    help="reject request bodies larger than this with 413")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip precompiling the batch buckets at startup")
+    p.add_argument("--shard", action="store_true",
+                   help="shard request batches over ALL local devices "
+                        "(data-parallel pod serving; buckets round up to "
+                        "multiples of the device count)")
     a = p.parse_args(argv)
 
     from avtubes.core.cache import enable_compilation_cache
-    from avtubes.core.serving import ArtifactRunner, MicroBatcher
+    from avtubes.core.serving import (ArtifactRunner, MicroBatcher,
+                                      ShardedArtifactRunner)
 
     enable_compilation_cache()
-    runner = ArtifactRunner(Path(a.model).read_bytes(), max_batch=a.max_batch)
+    runner_cls = ShardedArtifactRunner if a.shard else ArtifactRunner
+    runner = runner_cls(Path(a.model).read_bytes(), max_batch=a.max_batch)
+    if a.shard:
+        print(f"sharding batches over {runner.mesh.devices.size} devices",
+              flush=True)
     if not a.no_warmup:
         t0 = time.monotonic()
         runner.warmup()

@@ -30,6 +30,7 @@ import numpy as np
 
 __all__ = [
     "ArtifactRunner",
+    "ShardedArtifactRunner",
     "MicroBatcher",
     "mask_to_rle",
     "rle_to_mask",
@@ -137,6 +138,62 @@ class ArtifactRunner:
                 [waves, np.zeros((b - n, waves.shape[1]), waves.dtype)])
         masks, heatmaps = self.fn(frames, waves)
         return np.asarray(masks)[:n], np.asarray(heatmaps)[:n]
+
+
+class ShardedArtifactRunner(ArtifactRunner):
+    """Data-parallel artifact execution over a device mesh (pod serving).
+
+    The localizer is per-sample independent, so serving scales by batch
+    sharding: `shard_map` runs the unmodified single-device program on each
+    device's shard of the request batch — no re-export, no collectives,
+    throughput ~ chip count.  Batch buckets are rounded up to multiples of
+    the mesh size so every shard is equal (the padding rows are the same
+    zero-clips `ArtifactRunner.run` already adds); a fixed-batch artifact
+    must therefore have batch % n_devices == 0.
+
+    Inputs are placed with an explicit batch sharding before the call so
+    the host splits each array straight to its device — not one device
+    then an on-fabric redistribute.
+    """
+
+    def __init__(self, blob: bytes, max_batch: int = 8, devices=None):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from avtubes.core.mesh import DATA_AXIS, batch_sharding, make_mesh
+
+        super().__init__(blob, max_batch)
+        self.mesh = make_mesh(devices)
+        n = int(self.mesh.devices.size)
+        fixed = self.meta.get("batch")
+        if fixed:
+            if int(fixed) % n:
+                raise ValueError(
+                    f"fixed-batch artifact (batch={fixed}) cannot shard over "
+                    f"{n} devices; re-export batch-polymorphic or with a "
+                    f"multiple of {n}")
+        else:
+            top = max(((max_batch + n - 1) // n) * n, n)
+            self.buckets, b = [], n
+            while b < top:
+                self.buckets.append(b)
+                b *= 2
+            self.buckets.append(top)
+            self.max_batch = top
+
+        inner = self.fn  # the single-device program (jitted exported.call)
+        shard = P(DATA_AXIS)
+        self._sharding = batch_sharding(self.mesh)
+        self._sharded_fn = jax.jit(jax.shard_map(
+            lambda f, w: inner(f, w), mesh=self.mesh,
+            in_specs=(shard, shard), out_specs=(shard, shard)))
+        self.fn = self._call
+
+    def _call(self, frames, waves):
+        import jax
+
+        return self._sharded_fn(jax.device_put(frames, self._sharding),
+                                jax.device_put(waves, self._sharding))
 
 
 class _Pending:

@@ -363,3 +363,53 @@ def test_http_health_and_stats(server):
         stats = json.loads(r.read())
     assert stats["requests"] >= 3
     assert stats["batches"] >= 1
+
+
+def test_sharded_runner_matches_single_device(artifact):
+    """ShardedArtifactRunner over the 8-device CPU mesh: bucket sizes are
+    multiples of the mesh, and outputs equal the single-device runner at
+    padded, exact-bucket, and above-max (chunked) batch sizes."""
+    from avtubes.core.serving import ShardedArtifactRunner
+
+    single = ArtifactRunner(artifact, max_batch=16)
+    sharded = ShardedArtifactRunner(artifact, max_batch=16)
+    n = int(sharded.mesh.devices.size)
+    assert n == 8
+    assert all(b % n == 0 for b in sharded.buckets)
+    assert sharded.max_batch == 16
+
+    rng = np.random.default_rng(1)
+    for batch in (1, 3, 8, 16, 19):  # pad, pad, exact bucket, max, chunked
+        frames = rng.integers(0, 255, (batch, IMG, IMG, 3), np.uint8)
+        waves = rng.random((batch, SR * SEC), np.float32)
+        m0, h0 = single.run(frames, waves)
+        m1, h1 = sharded.run(frames, waves)
+        assert m1.shape[0] == h1.shape[0] == batch
+        np.testing.assert_allclose(h1, h0, atol=1e-5)
+        # masks are median-thresholded heatmaps; allow a few threshold-edge
+        # pixel flips from the summation-order change across shards
+        assert np.mean(m1 != m0) < 1e-3
+
+
+def test_sharded_runner_rejects_indivisible_fixed_batch(artifact):
+    """A fixed-batch artifact that doesn't divide over the mesh must fail
+    loudly at construction, not at serve time."""
+    import jax
+    import jax.numpy as jnp
+
+    from avtubes.core.config import OptimConfig
+    from avtubes.core.export import export_localizer
+    from avtubes.core.serving import ShardedArtifactRunner
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import AVENet
+    from avtubes.train.state import create_train_state
+
+    spec_cfg = SpectrogramConfig(samplerate=SR, seconds=SEC)
+    state = create_train_state(
+        AVENet(), jax.random.PRNGKey(0),
+        (jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+        OptimConfig())
+    fixed = export_localizer(state, spec_cfg, image_size=IMG, batch=3,
+                             platforms=("cpu",))
+    with pytest.raises(ValueError, match="cannot shard"):
+        ShardedArtifactRunner(fixed)
