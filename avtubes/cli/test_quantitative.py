@@ -88,9 +88,16 @@ def main(argv=None):
         metrics = _evaluate_with_activation(state, loader, d, spec_cfg, gt_lookup,
                                             evaluated_ids=evaluated_ids)
     else:
+        # shard eval batches over every available chip (state replicated)
+        from avtubes.core.mesh import make_data_mesh, replicate
+
+        mesh = make_data_mesh(d.eval_batch_size)
+        if mesh.size > 1:
+            state = replicate(mesh, state)
         metrics = evaluate_hardway(state, loader, d, spec_cfg, gt_lookup,
                                    model_kind=model_kind,
-                                   evaluated_ids=evaluated_ids)
+                                   evaluated_ids=evaluated_ids,
+                                   mesh=mesh if mesh.size > 1 else None)
     metrics.update(_gaussian_column(evaluated_ids, gt_lookup))
     print(f"Hardway Test cIoU  {metrics['hardway_ciou']}")
     print(f"Hardway Test auc   {metrics['hardway_auc']}")

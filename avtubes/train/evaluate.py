@@ -106,10 +106,27 @@ def bucket_len(n: int, buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> int:
     return -(-n // 32) * 32
 
 
+def _eval_put(mesh):
+    """(put_batch, put_replicated, divisor) for an optional data mesh.
+
+    mesh=None (or size 1) keeps the single-device behavior.  With a mesh,
+    batch inputs are sharded over the 'data' axis (each device scores its
+    slice — eval is per-sample independent, so this is exact) and
+    broadcast inputs (shared audio) are explicitly replicated so every
+    jit input lives on the same device set."""
+    if mesh is None or mesh.size <= 1:
+        return jnp.asarray, jnp.asarray, 1
+    from avtubes.core.mesh import batch_sharding, replicated
+
+    bs, rs = batch_sharding(mesh), replicated(mesh)
+    return (lambda x: jax.device_put(np.asarray(x), bs),
+            lambda x: jax.device_put(x, rs), mesh.size)
+
+
 def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
                      gt_lookup, epoch: int = 0, logger=None,
                      record: int = 0, model_kind: str = "2d",
-                     evaluated_ids: list | None = None) -> dict[str, float]:
+                     evaluated_ids: list | None = None, mesh=None) -> dict[str, float]:
     """249-image hard-way test: cIoU@0.5 + AUC (`train_hardway.py:208-239`).
 
     record > 0 dumps overlay JPEGs (frame + GT/pred JET compositing) for the
@@ -119,10 +136,15 @@ def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramC
     evaluated_ids, when given, collects the id of every sample actually
     scored (the loader skip-and-counts decode failures, so this can be a
     subset of the split) — comparison baselines must score the same set.
+
+    mesh, when given, shards each eval batch over the mesh's 'data' axis so
+    multi-chip eval scales instead of replicating the whole batch on every
+    device (state must be replicated over the same mesh).
     """
     from avtubes.utils.visual import overlay_heatmap
 
     mask_fn = _hardway_eval_masks_3d if model_kind == "3d" else _hardway_eval_masks
+    put, _, div = _eval_put(mesh)
     cious = []
     recorded = 0
     full_bsz = getattr(loader, "batch_size", 0)
@@ -130,9 +152,10 @@ def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramC
         n = batch["frame"].shape[0]
         pad_to = full_bsz if 0 < n < full_bsz else n  # last partial batch:
         # pad to the steady-state shape instead of compiling a second program
+        pad_to = -(-pad_to // div) * div  # sharded: divisible by mesh size
         masks = np.asarray(mask_fn(
-            state, jnp.asarray(_pad_rows(batch["frame"], pad_to)),
-            jnp.asarray(_pad_rows(batch["waveform"], pad_to)),
+            state, put(_pad_rows(batch["frame"], pad_to)),
+            put(_pad_rows(batch["waveform"], pad_to)),
             spec_cfg))[:n]
         for i, vid in enumerate(batch["id"]):
             gt = gt_lookup(vid, None)
@@ -154,7 +177,7 @@ def evaluate_hardway(state, loader, data_cfg: DataConfig, spec_cfg: SpectrogramC
 
 def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: SpectrogramConfig,
                       gt_lookup, model_kind: str = "2d", logger=None,
-                      record: int = 0, epoch: int = 0) -> dict[str, float]:
+                      record: int = 0, epoch: int = 0, mesh=None) -> dict[str, float]:
     """Whole-video per-frame eval with mTC (`train_hardway.py:164-207`,
     `train_3D.py:146-186`).
 
@@ -166,9 +189,12 @@ def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: Spectrogram
     once per clip); "3d" passes all sampled frames as ONE clip through
     FullModel — the reference's batched-clip trick (`train_3D.py:152-154`).
     record > 0 dumps per-frame overlay JPEGs for the first `record` videos.
+    mesh shards the 2d path's frame batch over the data axis (the 3d path
+    runs one whole clip and is left replicated — 3D convs couple frames).
     """
     from avtubes.utils.visual import overlay_heatmap
 
+    put, put_rep, div = _eval_put(mesh)
     ious, aucs, mtcs = [], [], []
     stride = data_cfg.sampling_rate
     for vi in range(len(source)):
@@ -192,9 +218,11 @@ def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: Spectrogram
         else:
             # 2D eval is per-frame independent: pad the frame batch to a
             # shape bucket so each unique video length does not recompile
-            frames_np = _pad_rows(clip[idxs], bucket_len(k))
-            frames = normalize_imagenet(jnp.asarray(frames_np))
-            spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
+            pad_k = -(-bucket_len(k) // div) * div
+            frames_np = _pad_rows(clip[idxs], pad_k)
+            frames = normalize_imagenet(put(frames_np))
+            spec1 = put_rep(
+                log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None])
             heat = eval_heatmap_shared_step(state, frames, spec1)[:k]
         masks = np.asarray(heatmap_to_mask_batch(heat))
         iou = [ciou_single(masks[j], gt_lookup(sample["id"], fi), 0.5)

@@ -239,7 +239,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                                           drop_last=False)
             eval_metrics = evaluate_hardway(eval_state, test_loader, d, spec_cfg,
                                             gt_lookup, epoch=epoch, logger=logger,
-                                            record=cfg.train.record_qualitative)
+                                            record=cfg.train.record_qualitative,
+                                            mesh=None if multiproc else mesh)
             last_metrics.update(eval_metrics)
             logger.log(step=int(state.step), epoch=epoch, **eval_metrics)
 
@@ -258,7 +259,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                     pf = evaluate_perframe(
                         eval_state, pf_src, d, spec_cfg,
                         pf_gt_lookup, logger=logger,
-                        record=cfg.train.record_qualitative, epoch=epoch)
+                        record=cfg.train.record_qualitative, epoch=epoch,
+                        mesh=None if multiproc else mesh)
                     last_metrics.update(pf)
                     logger.log(step=int(state.step), epoch=epoch, **pf)
 

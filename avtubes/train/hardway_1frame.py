@@ -96,7 +96,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway1frm",
                                       num_workers=d.n_threads, shuffle=False,
                                       drop_last=False)
             gt_lookup = _synthetic_gt_lookup() if d.synthetic else make_gt_lookup_auto(d)
-            em = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup, epoch=epoch)
+            em = evaluate_hardway(state, test_loader, d, spec_cfg, gt_lookup,
+                                  epoch=epoch, mesh=mesh)
             last.update(em)
             logger.log(step=int(state.step), epoch=epoch, **em)
 

@@ -122,3 +122,47 @@ def test_sharded_step_emits_expected_collectives():
     assert "all-reduce" in hlo, "gradient psum missing from compiled HLO"
     assert "all-gather" in hlo, "negative-pool all-gather missing"
     assert "all-to-all" not in hlo, "unexpected all-to-all in a pure-DP step"
+
+
+def test_sharded_eval_matches_single_device():
+    """evaluate_hardway/evaluate_perframe with a mesh (batch sharded over
+    'data', state replicated) produce the same metrics as the plain
+    single-device run — multi-chip eval is a layout change, not a math
+    change."""
+    from avtubes.core.config import DataConfig, OptimConfig
+    from avtubes.core.mesh import replicate
+    from avtubes.data.pipeline import BatchLoader, SyntheticSource
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import AVENet
+    from avtubes.train import create_train_state
+    from avtubes.train.evaluate import evaluate_hardway, evaluate_perframe
+    from avtubes.train.hardway import _synthetic_gt_lookup
+
+    cfg = DataConfig(image_size=64, synthetic=True, frame_density=8, sampling_rate=2)
+    spec_cfg = SpectrogramConfig()
+    state = create_train_state(
+        AVENet(), jax.random.PRNGKey(0),
+        (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, *spec_cfg.shape, 1))),
+        OptimConfig())
+    gt = _synthetic_gt_lookup()
+    mesh = cpu_mesh((8,), ("data",))
+    state_r = replicate(mesh, state)
+
+    def loader():
+        return BatchLoader(SyntheticSource(cfg, n=5, clip=False, seed=3), 4,
+                           num_workers=1, shuffle=False, drop_last=False)
+
+    # hard-way test block: batches of 4,1 -> sharded run pads to 8 (mesh
+    # multiple) instead of 4; metrics must be identical either way
+    m1 = evaluate_hardway(state, loader(), cfg, spec_cfg, gt)
+    m8 = evaluate_hardway(state_r, loader(), cfg, spec_cfg, gt, mesh=mesh)
+    assert m1["hardway_n"] == m8["hardway_n"] == 5
+    assert m1["hardway_ciou"] == m8["hardway_ciou"]
+    assert abs(m1["hardway_auc"] - m8["hardway_auc"]) < 1e-9
+
+    # per-frame block (2d path): frame batch sharded over the mesh
+    src = SyntheticSource(cfg, n=2, clip=True, seed=4)
+    p1 = evaluate_perframe(state, src, cfg, spec_cfg, gt)
+    p8 = evaluate_perframe(state_r, src, cfg, spec_cfg, gt, mesh=mesh)
+    for k in ("test_ciou", "test_auc", "test_mtc"):
+        assert abs(p1[k] - p8[k]) < 1e-6, (k, p1[k], p8[k])
