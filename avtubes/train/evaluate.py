@@ -30,8 +30,6 @@ from avtubes.evaluation import (
     mtc,
     vggss_gt_from_bboxes,
 )
-from avtubes.train.steps import eval3d_heatmap_step, eval_heatmap_shared_step
-
 
 def make_gt_lookup(data_cfg: DataConfig, per_frame: bool = False,
                    vggss_index: dict | None = None) -> Callable[[str, int | None], np.ndarray]:
@@ -83,6 +81,35 @@ def _hardway_eval_masks_3d(state, frames_uint8, waveforms, spec_cfg):
     out = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         spec, frames[:, None], train=False, method="forward_shared_audio",
+    )
+    return heatmap_to_mask_batch(out.heatmap)
+
+
+@functools.partial(jax.jit, static_argnames=("spec_cfg",))
+def _perframe_masks(state, frames_uint8, waveform, spec_cfg):
+    """Per-frame eval in ONE program: normalize + spectrogram + both
+    encoders (audio once per clip via forward_shared_audio) + mask
+    postprocess.  One dispatch per video instead of a per-op eager chain —
+    on a ~30 ms-RTT tunnel the fused form is latency-bound by ONE round
+    trip, not a dozen."""
+    frames = normalize_imagenet(frames_uint8)
+    spec = log_spectrogram(waveform[None], spec_cfg)[..., None]
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        frames, spec, train=False, method="forward_shared_audio",
+    )
+    return heatmap_to_mask_batch(out.heatmap)
+
+
+@functools.partial(jax.jit, static_argnames=("spec_cfg",))
+def _perframe_masks_3d(state, clip_uint8, waveform, spec_cfg):
+    """FullModel variant: the sampled frames run as ONE clip (the
+    reference's batched-clip trick, `train_3D.py:152-154`)."""
+    frames = normalize_imagenet(clip_uint8)
+    spec = log_spectrogram(waveform[None], spec_cfg)[..., None]
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        spec, frames[None], train=False, method="forward_shared_audio",
     )
     return heatmap_to_mask_batch(out.heatmap)
 
@@ -212,19 +239,16 @@ def evaluate_perframe(state, source, data_cfg: DataConfig, spec_cfg: Spectrogram
             # 3D convs couple neighboring frames, so the clip runs at its
             # natural length (padding would perturb features near the end;
             # reference parity: the whole clip in one forward)
-            frames = normalize_imagenet(jnp.asarray(clip[idxs]))
-            spec1 = log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None]
-            heat = eval3d_heatmap_step(state, frames[None], spec1)[0]
+            masks = np.asarray(_perframe_masks_3d(
+                state, jnp.asarray(clip[idxs]), jnp.asarray(sample["waveform"]),
+                spec_cfg))
         else:
             # 2D eval is per-frame independent: pad the frame batch to a
             # shape bucket so each unique video length does not recompile
             pad_k = -(-bucket_len(k) // div) * div
-            frames_np = _pad_rows(clip[idxs], pad_k)
-            frames = normalize_imagenet(put(frames_np))
-            spec1 = put_rep(
-                log_spectrogram(jnp.asarray(sample["waveform"]), spec_cfg)[None, ..., None])
-            heat = eval_heatmap_shared_step(state, frames, spec1)[:k]
-        masks = np.asarray(heatmap_to_mask_batch(heat))
+            masks = np.asarray(_perframe_masks(
+                state, put(_pad_rows(clip[idxs], pad_k)),
+                put_rep(np.asarray(sample["waveform"])), spec_cfg))[:k]
         iou = [ciou_single(masks[j], gt_lookup(sample["id"], fi), 0.5)
                for j, fi in enumerate(idxs)]
         ious.append(float(np.mean(np.asarray(iou) >= 0.5)))

@@ -119,3 +119,31 @@ def test_evaluate_hardway_partial_batch_padded():
     assert m_part["hardway_n"] == m_full["hardway_n"] == 5
     assert m_part["hardway_ciou"] == m_full["hardway_ciou"]
     assert abs(m_part["hardway_auc"] - m_full["hardway_auc"]) < 1e-9
+
+
+def test_evaluate_perframe_3d_end_to_end(mp4_dataset):
+    """FullModel per-frame eval: the sampled frames run as ONE clip through
+    the fused 3D mask program (`train_3D.py:152-154` batched-clip trick)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avtubes.core.config import OptimConfig
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import FullModel
+    from avtubes.train import create_train_state
+    from avtubes.train.evaluate import evaluate_perframe
+    from avtubes.train.hardway import _synthetic_gt_lookup
+
+    root, ids = mp4_dataset
+    cfg = DataConfig(image_size=64, sampling_rate=4)
+    spec_cfg = SpectrogramConfig()
+    src = PerFrameEvalSource(root, ids, cfg)
+    state = create_train_state(
+        FullModel(), jax.random.PRNGKey(0),
+        (jnp.zeros((2, *spec_cfg.shape, 1)), jnp.zeros((1, 2, 64, 64, 3))),
+        OptimConfig())
+    metrics = evaluate_perframe(state, src, cfg, spec_cfg,
+                                _synthetic_gt_lookup(), model_kind="3d")
+    assert np.isfinite(metrics["test_ciou"])
+    assert np.isfinite(metrics["test_auc"])
+    assert 0.0 <= metrics["test_mtc"] <= 1.0
