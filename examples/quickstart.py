@@ -28,6 +28,11 @@ from pathlib import Path
 
 import numpy as np
 
+try:  # running from a source checkout without `pip install -e .`:
+    import avtubes  # noqa: F401
+except ModuleNotFoundError:  # sys.path[0] is examples/, not the repo root
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 IMG, SR, SEC = 64, 2000, 1
 
 
@@ -53,10 +58,13 @@ def main(argv=None):
     train_main(common)
 
     step("3. export the checkpoint as a serving artifact")
+    import jax
+
     from avtubes.cli.export_model import main as export_main
     artifact = work / "model.avt"
-    export_main(common + ["--out", str(artifact), "--platforms", "cpu",
-                          "--batch", "b"])
+    # export for the platform that will serve it (cpu on a laptop, tpu here)
+    export_main(common + ["--out", str(artifact), "--platforms",
+                          jax.default_backend(), "--batch", "b"])
 
     step("4. serve it (in-process HTTP server, micro-batched)")
     from avtubes.cli.serve import build_handler
