@@ -62,9 +62,12 @@ def main(argv=None):
 
     from avtubes.cli.export_model import main as export_main
     artifact = work / "model.avt"
-    # export for the platform that will serve it (cpu on a laptop, tpu here)
+    # export for the platform that will serve it (cpu on a laptop, tpu here);
+    # jax.export spells the GPU platform "cuda"/"rocm" while
+    # jax.default_backend() reports "gpu" — map it through
+    backend = {"gpu": "cuda"}.get(jax.default_backend(), jax.default_backend())
     export_main(common + ["--out", str(artifact), "--platforms",
-                          jax.default_backend(), "--batch", "b"])
+                          backend, "--batch", "b"])
 
     step("4. serve it (in-process HTTP server, micro-batched)")
     from avtubes.cli.serve import build_handler
