@@ -13,9 +13,8 @@ Split host/device by what each is good at (reference pipelines:
 The reference's two training views are: view1 = Resize(1.1x) -> RandomCrop
 -> HFlip -> CenterCrop; view2 = RandomCrop(0.7x) -> ColorJitter(.5,.5,.5,.5)
 -> Resize -> HFlip *applied to view1's output*.  We reproduce exactly that
-dataflow; color-jitter ops are applied in fixed order (brightness, contrast,
-saturation, hue) rather than torchvision's random order — same marginal
-ranges, a deliberate simplification.
+dataflow, including torchvision ColorJitter's uniformly random per-sample
+op order (a traced lax.scan over a drawn permutation — see color_jitter).
 
 All device transforms take an explicit PRNG key and are vmappable/jittable.
 """
@@ -216,23 +215,61 @@ def _blend(a: jnp.ndarray, b: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
 
 def color_jitter(key: jax.Array, clip01: jnp.ndarray,
                  brightness: float = 0.5, contrast: float = 0.5,
-                 saturation: float = 0.5, hue: float = 0.5) -> jnp.ndarray:
-    """torchvision-range color jitter on a [0,1] float clip, one draw per clip."""
-    kb, kc, ks, kh = jax.random.split(key, 4)
-    x = clip01
-    if brightness:
-        f = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness), maxval=1 + brightness)
-        x = _blend(x, jnp.zeros_like(x), f)
-    if contrast:
-        f = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
+                 saturation: float = 0.5, hue: float = 0.5,
+                 order: tuple[int, ...] | None = None) -> jnp.ndarray:
+    """torchvision-semantics color jitter on a [0,1] float clip, one draw per
+    clip: all four factors are drawn up front and the ops are applied in a
+    uniformly random per-call order (torchvision's ColorJitter draws
+    ``torch.randperm(4)`` each call, `datasets/dataloader.py:167` via
+    transforms.ColorJitter).  The random order is traced as a 4-step
+    lax.scan whose body lax.switches between the four ops — no Python
+    control flow on traced values, so the whole jitter stays inside the
+    fused augmentation program.
+
+    `order`: optional STATIC permutation of (0=brightness, 1=contrast,
+    2=saturation, 3=hue) that bypasses the random draw — for tests that
+    need a deterministic composition.
+    """
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness),
+                            maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast),
+                            maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation),
+                            maxval=1 + saturation)
+    shift = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+
+    def op_brightness(x):
+        return _blend(x, jnp.zeros_like(x), fb)
+
+    def op_contrast(x):
         mean = _grayscale(x).mean(axis=(-3, -2, -1), keepdims=True)
-        x = _blend(x, mean, f)
-    if saturation:
-        f = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
-        x = _blend(x, _grayscale(x), f)
-    if hue:
-        shift = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
-        x = _hue_shift(x, shift)
+        return _blend(x, mean, fc)
+
+    def op_saturation(x):
+        return _blend(x, _grayscale(x), fs)
+
+    def op_hue(x):
+        return _hue_shift(x, shift)
+
+    identity = lambda x: x
+    ops = [op_brightness if brightness else identity,
+           op_contrast if contrast else identity,
+           op_saturation if saturation else identity,
+           op_hue if hue else identity]
+
+    if order is not None:
+        x = clip01
+        for idx in order:
+            x = ops[idx](x)
+        return x
+
+    perm = jax.random.permutation(kp, 4)
+
+    def body(x, idx):
+        return jax.lax.switch(idx, ops, x), None
+
+    x, _ = jax.lax.scan(body, clip01, perm)
     return x
 
 

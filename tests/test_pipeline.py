@@ -192,6 +192,83 @@ def test_augment_train_batch_shapes_and_range():
     assert not np.allclose(np.asarray(v1), np.asarray(v1b))
 
 
+def test_color_jitter_random_order_matches_forced_composition():
+    """The traced random-order path (scan over a drawn permutation of
+    lax.switch branches) must produce exactly the composition the same
+    permutation produces when forced statically — and the permutation must
+    actually vary across keys (torchvision ColorJitter's randperm(4)
+    semantics, `datasets/dataloader.py:167`)."""
+    from avtubes.data.transforms import color_jitter
+
+    rng = np.random.RandomState(3)
+    clip = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+
+    perms_seen = set()
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        traced = np.asarray(color_jitter(key, clip))
+        # reproduce the internal permutation draw (key split 5: b,c,s,h,perm)
+        kp = jax.random.split(key, 5)[4]
+        perm = tuple(int(i) for i in jax.random.permutation(kp, 4))
+        perms_seen.add(perm)
+        forced = np.asarray(color_jitter(key, clip, order=perm))
+        # scan/switch vs unrolled composition fuse differently -> f32 ulp
+        np.testing.assert_allclose(traced, forced, atol=1e-5)
+    assert len(perms_seen) >= 3, f"permutation not varying: {perms_seen}"
+
+    # a different op order must change the output (the whole point)
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(color_jitter(key, clip, order=(0, 1, 2, 3)))
+    b = np.asarray(color_jitter(key, clip, order=(3, 2, 1, 0)))
+    assert not np.allclose(a, b)
+
+    # output stays a valid [0,1] image batch of the same shape
+    out = np.asarray(color_jitter(jax.random.PRNGKey(9), clip))
+    assert out.shape == clip.shape
+    assert out.min() >= -1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_color_jitter_marginals_match_torchvision():
+    """Each single op (others disabled) must match torchvision's functional
+    float-tensor math: brightness/contrast/saturation blends and the HSV hue
+    shift.  (Skipped where torchvision is absent; tolerances allow
+    torchvision's 0.2989 grayscale red weight vs our PIL-parity 0.299.)"""
+    tv = pytest.importorskip("torchvision.transforms.functional")
+    import torch
+
+    from avtubes.data.transforms import color_jitter
+
+    rng = np.random.RandomState(5)
+    img = rng.rand(1, 12, 12, 3).astype(np.float32)
+    img_t = torch.tensor(img[0].transpose(2, 0, 1))
+    key = jax.random.PRNGKey(2)
+    kb, kc, ks, kh, _ = jax.random.split(key, 5)
+
+    fb = float(jax.random.uniform(kb, (), minval=0.5, maxval=1.5))
+    ours = np.asarray(color_jitter(key, jnp.asarray(img), brightness=0.5,
+                                   contrast=0, saturation=0, hue=0))
+    ref = tv.adjust_brightness(img_t, fb).numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(ours[0], ref, atol=1e-6)
+
+    fc = float(jax.random.uniform(kc, (), minval=0.5, maxval=1.5))
+    ours = np.asarray(color_jitter(key, jnp.asarray(img), brightness=0,
+                                   contrast=0.5, saturation=0, hue=0))
+    ref = tv.adjust_contrast(img_t, fc).numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(ours[0], ref, atol=1e-3)
+
+    fs = float(jax.random.uniform(ks, (), minval=0.5, maxval=1.5))
+    ours = np.asarray(color_jitter(key, jnp.asarray(img), brightness=0,
+                                   contrast=0, saturation=0.5, hue=0))
+    ref = tv.adjust_saturation(img_t, fs).numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(ours[0], ref, atol=1e-3)
+
+    sh = float(jax.random.uniform(kh, (), minval=-0.5, maxval=0.5))
+    ours = np.asarray(color_jitter(key, jnp.asarray(img), brightness=0,
+                                   contrast=0, saturation=0, hue=0.5))
+    ref = tv.adjust_hue(img_t, sh).numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(ours[0], ref, atol=1e-4)
+
+
 def test_normalize_imagenet_values():
     x = jnp.full((1, 2, 2, 3), 255.0)
     out = np.asarray(normalize_imagenet(x))
