@@ -89,9 +89,12 @@ class AVENet(nn.Module):
         spectrograms once and tiling the pooled features is mathematically
         identical: batch statistics over uniformly duplicated samples equal
         those over the uniques, and the tiled features broadcast/sum
-        correctly through the backward pass.  (Only the BatchNorm
-        running-stat momentum sees one audio update per step instead of two
-        — an eval-time-only, documented deviation.)
+        correctly through the backward pass.  The BatchNorm running stats
+        see one audio EMA update here instead of the reference's two; the
+        train step composes the second update in closed form
+        (`train/steps.py:_advance_audio_stats`), so running stats track the
+        reference too (up to the 1/n unbiased-variance count difference of
+        deduplicated-vs-duplicated batches — negligible at real shapes).
 
         frames/augmented: (B*T, H, W, 3); audio: (B, F, Tt, 1).
         """

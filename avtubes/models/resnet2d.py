@@ -32,6 +32,8 @@ from collections.abc import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from avtubes.models.norm import TorchBatchNorm
+
 # He fan-out normal (reference: nn.init.kaiming_normal_(mode='fan_out'))
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
@@ -152,7 +154,7 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         scale_init = (bn_scale_init if self.bn_scale_noise
                       else nn.initializers.ones)
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -222,7 +224,7 @@ class ResNet2D(nn.Module):
             x = conv(64, (7, 7), strides=(2, 2), padding=3,
                      kernel_init=conv_init, dtype=self.dtype,
                      name=f"stem_{self.modal}")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, scale_init=scale_init, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -22,6 +22,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import flax.linen as nn
+
+from avtubes.models.norm import TorchBatchNorm
 import jax.numpy as jnp
 
 from avtubes.models.resnet2d import conv_init
@@ -38,7 +40,7 @@ class BasicBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         identity = x
@@ -78,7 +80,7 @@ class ResNet3D(nn.Module):
         x = nn.Conv(64, (7, 7, 7), strides=(1, 2, 2), padding=((3, 3), (3, 3), (3, 3)),
                     use_bias=False, kernel_init=conv_init, dtype=self.dtype,
                     name="stem")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         if not self.no_max_pool:

@@ -17,6 +17,8 @@ model families:
 from __future__ import annotations
 
 import flax.linen as nn
+
+from avtubes.models.norm import TorchBatchNorm
 import jax.numpy as jnp
 
 from avtubes.models.resnet2d import ResNet2D, conv_init
@@ -80,7 +82,7 @@ class _VGGMTower(nn.Module):
             s = (2, 2) if i == 0 else (1, 1)
             x = nn.Conv(ch, k, strides=s, padding="SAME", kernel_init=conv_init,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype, name=f"bn{i + 1}")(x)
             x = nn.relu(x)
             if self.in_pool and i in (0, 1, 4):
@@ -108,7 +110,7 @@ class AudioConvNet(nn.Module):
         for i, ch in enumerate((64, 64, 128, 128, 256, 256, 512, 512)):
             x = nn.Conv(ch, (3, 3), padding="SAME", kernel_init=conv_init,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype, name=f"bn{i + 1}")(x)
             x = nn.relu(x)
             if i % 2 == 1:

@@ -15,7 +15,9 @@ on 16-frame clips flattened to the batch axis ((b t) folding,
 
 The two forward passes share parameters; BatchNorm running stats are
 updated by the clean pass and then by the augmented pass, in that order,
-matching the reference's sequential `model(...)` calls.
+matching the reference's sequential `model(...)` calls.  The audio tower
+(encoded once on the shared spectrograms) gets its second reference-parity
+EMA advance in closed form (`_advance_audio_stats`).
 
 TPU notes: the whole step is one jit program — both backbones, the
 pairwise-similarity matmul, the four losses, and the Adam update fuse into
@@ -37,6 +39,29 @@ from avtubes.train.state import AVTrainState
 def _fold_time(x: jnp.ndarray) -> jnp.ndarray:
     """(B, T, ...) -> (B*T, ...)."""
     return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+
+def _advance_audio_stats(old_stats, new_stats, momentum: float = 0.9):
+    """Advance the audnet BN running stats one extra EMA step.
+
+    Reference parity: `train_hardway.py:132-133` forwards the model twice
+    per step (once per view) on the SAME audio batch, so torch's audio-tower
+    BN running stats advance TWO EMA steps per training step.
+    `two_view_forward` encodes the shared audio once (one EMA step) — same
+    trajectory, fewer FLOPs — so the second EMA step is composed here in
+    closed form.  With the same batch statistic x in both updates:
+
+        new  = m*old + (1-m)*x
+        next = m*new + (1-m)*x = (1+m)*new - m*old
+
+    Exact for whatever statistic the BN layer stored (biased or unbiased
+    variance alike); imgnet already updates twice (two image forwards).
+    """
+    m = momentum
+    aud2 = jax.tree_util.tree_map(
+        lambda n, o: (1.0 + m) * n - m * o,
+        new_stats["audnet"], old_stats["audnet"])
+    return {**new_stats, "audnet": aud2}
 
 
 def pytree_group_norms(tree, prefix: str, depth: int = 2) -> dict[str, jnp.ndarray]:
@@ -93,9 +118,11 @@ def hardway_train_step(
         }
         return combined, (mut2["batch_stats"], metrics)
 
+    old_stats = state.batch_stats
     grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads)
-    state = state.replace(batch_stats=new_stats)
+    state = state.replace(
+        batch_stats=_advance_audio_stats(old_stats, new_stats))
     if watch:
         metrics.update(pytree_group_norms(grads, "grad_norm"))
         metrics.update(pytree_group_norms(state.params, "param_norm"))

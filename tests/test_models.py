@@ -169,3 +169,76 @@ def test_fullmodel_audnet_bn_init_is_constant_one():
                                   train=False))(jax.random.PRNGKey(0))
     s = np.asarray(va["params"]["audnet"]["stem_bn"]["scale"])
     assert s.std() > 0.005  # N(1, .02), not constant
+
+
+def test_torch_batchnorm_matches_torch_semantics():
+    """TorchBatchNorm vs torch.nn.BatchNorm2d: train-mode output, eval-mode
+    output, AND the running statistics after two train steps (the unbiased
+    running-var update is the point — flax's BatchNorm stores the biased
+    one)."""
+    torch = pytest.importorskip("torch")
+
+    from avtubes.models.norm import TorchBatchNorm
+
+    rng = np.random.RandomState(0)
+    n, h, w, c = 3, 5, 4, 6
+    x1 = rng.randn(n, h, w, c).astype(np.float32)
+    x2 = rng.randn(n, h, w, c).astype(np.float32) * 2.0 + 0.5
+
+    ref = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        ref.weight.copy_(torch.tensor(rng.rand(c).astype(np.float32) + 0.5))
+        ref.bias.copy_(torch.tensor(rng.randn(c).astype(np.float32)))
+    ref.train()
+    y1_t = ref(torch.tensor(x1.transpose(0, 3, 1, 2)))
+    ref(torch.tensor(x2.transpose(0, 3, 1, 2)))
+    ref.eval()
+    ye_t = ref(torch.tensor(x1.transpose(0, 3, 1, 2)))
+
+    bn = TorchBatchNorm(use_running_average=False)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x1))
+    variables = {
+        "params": {"scale": jnp.asarray(ref.weight.detach().numpy()),
+                   "bias": jnp.asarray(ref.bias.detach().numpy())},
+        "batch_stats": variables["batch_stats"],
+    }
+    y1, mut = bn.apply(variables, jnp.asarray(x1), mutable=["batch_stats"])
+    _, mut = bn.apply({**variables, "batch_stats": mut["batch_stats"]},
+                      jnp.asarray(x2), mutable=["batch_stats"])
+
+    np.testing.assert_allclose(
+        np.asarray(y1), y1_t.detach().numpy().transpose(0, 2, 3, 1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               ref.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               ref.running_var.numpy(), rtol=1e-5)
+
+    bn_eval = TorchBatchNorm(use_running_average=True)
+    ye = bn_eval.apply({"params": variables["params"],
+                        "batch_stats": mut["batch_stats"]}, jnp.asarray(x1))
+    np.testing.assert_allclose(
+        np.asarray(ye), ye_t.detach().numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_advance_audio_stats_composes_second_ema_step():
+    """(1+m)*new - m*old == applying the EMA update twice with the same
+    batch statistic, for the audnet subtree only."""
+    from avtubes.train.steps import _advance_audio_stats
+
+    m = 0.9
+    rng = np.random.RandomState(1)
+    old = {"audnet": {"bn": {"mean": jnp.asarray(rng.randn(4)),
+                             "var": jnp.asarray(rng.rand(4) + 0.5)}},
+           "imgnet": {"bn": {"mean": jnp.asarray(rng.randn(4)),
+                             "var": jnp.asarray(rng.rand(4) + 0.5)}}}
+    x = {"mean": jnp.asarray(rng.randn(4)), "var": jnp.asarray(rng.rand(4) + 0.5)}
+    new = {"audnet": {"bn": {k: m * old["audnet"]["bn"][k] + (1 - m) * x[k]
+                             for k in x}},
+           "imgnet": old["imgnet"]}
+    out = _advance_audio_stats(old, new, momentum=m)
+    for k in x:
+        twice = m * new["audnet"]["bn"][k] + (1 - m) * x[k]
+        np.testing.assert_allclose(np.asarray(out["audnet"]["bn"][k]),
+                                   np.asarray(twice), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out["imgnet"]["bn"][k]),
+                                      np.asarray(new["imgnet"]["bn"][k]))
