@@ -15,8 +15,14 @@ faster TPU inference.
 
 `--quant int8` exports with int8 inference convs (dynamic per-tensor
 activation + per-channel weight quantization; the MXU's int8 path is 2x
-its bf16 peak).  Unlike --s2d this is an approximation — validate cIoU on
-your eval set before serving it.
+its bf16 peak).  Unlike --s2d this is an approximation — pass --validate
+to measure what it costs in metric terms.
+
+`--validate [N]` scores the written artifact against the checkpoint's f32
+pipeline on an N-sample synthetic boxed eval set (default 16) and prints
+the cIoU@0.5/AUC deltas plus mask/heatmap agreement as one JSON line.  If
+either delta exceeds `--validate_tol` (default 0.01 = 1 pt) the CLI warns
+loudly and exits 2 — the artifact stays on disk, the exit code gates CI.
 
 Smoke:  python -m avtubes.cli.export_model --synthetic --image_size 64 \
             --summaries_dir /tmp/ckpts --out /tmp/model.avt --platforms cpu
@@ -55,6 +61,17 @@ def main(argv=None):
     quant = take("--quant")
     if quant not in (None, "int8"):
         raise SystemExit(f"--quant supports only 'int8', got {quant!r}")
+    validate_tol = float(take("--validate_tol", "0.01"))
+    validate_n = 0
+    if "--validate" in argv:
+        i = argv.index("--validate")
+        # optional numeric operand: `--validate 64` or bare `--validate`
+        if i + 1 < len(argv) and argv[i + 1].isdigit():
+            validate_n = int(argv[i + 1])
+            del argv[i : i + 2]
+        else:
+            validate_n = 16
+            del argv[i]
     s2d = "--s2d" in argv
     if s2d:
         argv.remove("--s2d")
@@ -76,6 +93,8 @@ def main(argv=None):
         print(f"loaded {ckpt} (epoch {epoch})")
     else:
         print("WARNING: no checkpoint found — exporting untrained weights")
+
+    f32_state = state  # pre-s2d/pre-quant: the checkpoint's own semantics
 
     if s2d:
         # exact space-to-depth stem transform (same math, ~10% faster
@@ -112,6 +131,23 @@ def main(argv=None):
     Path(out).write_bytes(blob)
     print(f"wrote {out} ({len(blob) / 1e6:.1f} MB, batch={batch}, "
           f"platforms={platforms or 'default'})")
+
+    if validate_n:
+        import json
+
+        from avtubes.core.export import validate_artifact
+
+        report = validate_artifact(f32_state, blob, spec_cfg,
+                                   image_size=d.image_size, n=validate_n)
+        print("validate:", json.dumps(report))
+        worst = max(report["ciou_delta"], report["auc_delta"])
+        if worst > validate_tol:
+            print(f"WARNING: artifact deviates from the f32 pipeline by "
+                  f"{worst:.4f} cIoU/AUC (> --validate_tol {validate_tol}); "
+                  f"NOT serving-safe without a real-data check", flush=True)
+            raise SystemExit(2)
+        print(f"validate OK: max cIoU/AUC delta {worst:.4f} "
+              f"<= tol {validate_tol}")
 
 
 if __name__ == "__main__":

@@ -126,3 +126,85 @@ def load_localizer(blob: bytes) -> Callable:
     """Deserialize an exported artifact into a callable
     (frames_uint8, waveforms) -> (masks, heatmaps)."""
     return load_artifact(blob)[0]
+
+
+def validate_artifact(state, blob: bytes, spec_cfg, image_size: int = 224,
+                      n: int = 16, seed: int = 0) -> dict:
+    """Score an exported artifact against the in-memory f32 pipeline.
+
+    The export CLI's `--quant int8` is an approximation; the docs used to
+    tell users to "validate cIoU before serving it" — this is that
+    validation as a function: both pipelines score the same synthetic boxed
+    eval set (random frames/waveforms, random rectangle GT — the same
+    construction the system-parity tests use) and the report carries the
+    cIoU@0.5/AUC of each, their deltas, the mean per-sample mask IoU
+    between the two pipelines (the GT-free agreement number), and the
+    heatmap max-abs-diff/correlation.  Exact exports (plain / --s2d) come
+    back with ~zero deltas; int8 shows its true metric-level cost.
+
+    `state` must be the UN-quantized f32 state (what the checkpoint holds);
+    `blob` is the artifact as written to disk.
+    """
+    import numpy as np
+
+    from avtubes.evaluation import auc_from_ciou, ciou_single
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, (n, image_size, image_size, 3),
+                         dtype=np.uint8)
+    waves = (rng.rand(n, spec_cfg.num_samples).astype(np.float32) * 2 - 1)
+    gts = []
+    for _ in range(n):
+        x0, y0 = rng.randint(10, 100, 2)
+        w, h = rng.randint(60, 120, 2)
+        g = np.zeros((224, 224), np.float32)
+        g[y0:y0 + h, x0:x0 + w] = 1.0
+        gts.append(g)
+
+    ref_fn = jax.jit(_pipeline_fn(state, spec_cfg))
+    masks_ref, heat_ref = jax.device_get(ref_fn(frames, waves))
+
+    art_fn, meta = load_artifact(blob)
+    fixed = meta.get("batch")
+    if fixed:  # fixed-batch artifact: run in padded chunks of that size
+        masks_chunks, heat_chunks = [], []
+        for i in range(0, n, fixed):
+            fr, wv = frames[i:i + fixed], waves[i:i + fixed]
+            pad = fixed - fr.shape[0]
+            if pad:
+                fr = np.concatenate([fr, np.repeat(fr[:1], pad, 0)])
+                wv = np.concatenate([wv, np.repeat(wv[:1], pad, 0)])
+            m, h = jax.device_get(art_fn(fr, wv))
+            masks_chunks.append(m[: fr.shape[0] - pad])
+            heat_chunks.append(h[: fr.shape[0] - pad])
+        masks_art = np.concatenate(masks_chunks)
+        heat_art = np.concatenate(heat_chunks)
+    else:
+        masks_art, heat_art = jax.device_get(art_fn(frames, waves))
+
+    def headline(masks):
+        cious = np.asarray([ciou_single(masks[i], gts[i], 0.5)
+                            for i in range(n)])
+        return float(np.mean(cious >= 0.5)), auc_from_ciou(cious), cious
+
+    ciou_ref, auc_ref, cious_ref = headline(np.asarray(masks_ref))
+    ciou_art, auc_art, cious_art = headline(np.asarray(masks_art))
+    inter = np.minimum(masks_ref, masks_art).sum(axis=(1, 2))
+    union = np.maximum(masks_ref, masks_art).sum(axis=(1, 2))
+    pair_iou = float(np.mean(inter / np.maximum(union, 1.0)))
+    hr = np.asarray(heat_ref, np.float64).ravel()
+    ha = np.asarray(heat_art, np.float64).ravel()
+    return {
+        "n": int(n),
+        "ciou_f32": round(ciou_ref, 4),
+        "ciou_artifact": round(ciou_art, 4),
+        "ciou_delta": round(abs(ciou_art - ciou_ref), 4),
+        "auc_f32": round(auc_ref, 4),
+        "auc_artifact": round(auc_art, 4),
+        "auc_delta": round(abs(auc_art - auc_ref), 4),
+        "ciou_per_sample_max_delta": round(
+            float(np.abs(cious_art - cious_ref).max()), 4),
+        "mask_pairwise_iou_mean": round(pair_iou, 4),
+        "heatmap_max_abs_diff": round(float(np.abs(hr - ha).max()), 5),
+        "heatmap_corr": round(float(np.corrcoef(hr, ha)[0, 1]), 5),
+    }

@@ -106,3 +106,31 @@ def test_export_model_cli_s2d(tmp_path, capsys):
     masks, heat = fn(img, wave)
     assert np.isfinite(np.asarray(heat)).all()
     assert set(np.unique(np.asarray(masks))) <= {0.0, 1.0}
+
+
+def test_export_model_cli_validate(tmp_path, capsys):
+    """--validate: exact export passes (exit 0, 'validate OK', the JSON
+    report line); a tol of 0 on an int8 export trips the loud-warning
+    SystemExit(2) path while keeping the artifact on disk."""
+    import json
+
+    import pytest
+
+    from avtubes.cli.export_model import main
+
+    out = tmp_path / "model.avt"
+    main(_tiny(tmp_path, **{"--batch": "2"})
+         + ["--out", str(out), "--platforms", "cpu", "--validate", "4"])
+    captured = capsys.readouterr().out
+    assert "validate OK" in captured
+    report = json.loads(captured.split("validate: ", 1)[1].splitlines()[0])
+    assert report["n"] == 4 and "ciou_delta" in report
+
+    out_q = tmp_path / "model_q.avt"
+    with pytest.raises(SystemExit) as exc:
+        main(_tiny(tmp_path, **{"--batch": "2"})
+             + ["--out", str(out_q), "--platforms", "cpu", "--quant", "int8",
+                "--validate", "4", "--validate_tol", "-1"])
+    assert exc.value.code == 2
+    assert out_q.exists()  # artifact kept; the exit code gates CI
+    assert "WARNING" in capsys.readouterr().out

@@ -85,3 +85,57 @@ def test_export_s2d_conversion_bit_identical():
     _, h2 = f2(frames, waves)
     np.testing.assert_allclose(np.asarray(h1, np.float32),
                                np.asarray(h2, np.float32), atol=1e-5)
+
+
+def test_validate_artifact_reports_deltas():
+    """validate_artifact: an EXACT export validates with ~zero cIoU/AUC
+    delta and near-1 mask agreement; an int8 export reports a real (small)
+    heatmap perturbation; an artifact from DIFFERENT weights is flagged by
+    a large disagreement — the report actually discriminates."""
+    from avtubes.core.export import validate_artifact
+
+    state, spec_cfg = _tiny_state()
+    blob = export_localizer(state, spec_cfg, image_size=IMG,
+                            platforms=("cpu",))
+    report = validate_artifact(state, blob, spec_cfg, image_size=IMG, n=6)
+    assert report["n"] == 6
+    assert report["ciou_delta"] == 0.0 and report["auc_delta"] <= 0.01
+    assert report["mask_pairwise_iou_mean"] > 0.98
+    assert report["heatmap_max_abs_diff"] < 1e-4
+
+    # int8 export validated against the f32 state: small but nonzero noise
+    q_state = state.replace(
+        apply_fn=AVENet(quant_int8=True,
+                        hardway=ExperimentConfig().hardway).apply)
+    blob_q = export_localizer(q_state, spec_cfg, image_size=IMG,
+                              platforms=("cpu",))
+    report_q = validate_artifact(state, blob_q, spec_cfg, image_size=IMG, n=6)
+    assert report_q["heatmap_max_abs_diff"] < 0.05
+    assert report_q["heatmap_corr"] > 0.95
+    assert report_q["ciou_delta"] <= 0.35  # tiny-n quantized headline
+
+    # wrong weights: the report must show gross disagreement
+    other = create_train_state(
+        AVENet(hardway=ExperimentConfig().hardway), jax.random.PRNGKey(9),
+        (jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+        ExperimentConfig().optim, 4)
+    blob_other = export_localizer(other, spec_cfg, image_size=IMG,
+                                  platforms=("cpu",))
+    report_bad = validate_artifact(state, blob_other, spec_cfg,
+                                   image_size=IMG, n=6)
+    assert report_bad["heatmap_corr"] < 0.9
+    assert report_bad["mask_pairwise_iou_mean"] < report["mask_pairwise_iou_mean"]
+
+
+def test_validate_artifact_fixed_batch_chunking():
+    """A fixed-batch artifact is validated in padded chunks; the report is
+    identical in spirit to the polymorphic one (exact export -> ~0 delta)."""
+    from avtubes.core.export import validate_artifact
+
+    state, spec_cfg = _tiny_state()
+    blob = export_localizer(state, spec_cfg, image_size=IMG, batch=4,
+                            platforms=("cpu",))
+    report = validate_artifact(state, blob, spec_cfg, image_size=IMG, n=6)
+    assert report["n"] == 6
+    assert report["ciou_delta"] == 0.0
+    assert report["heatmap_max_abs_diff"] < 1e-4
