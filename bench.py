@@ -174,14 +174,21 @@ def bench_device_pipeline(timed, frames, waves, rtt: float) -> float:
     return BATCH * SCAN_STEPS / per_call
 
 
-def measure_h2d_mbps() -> float:
-    """Host-to-device link rate for INCOMPRESSIBLE data (MB/s, best of 3).
+def measure_h2d_mbps() -> tuple[float, float]:
+    """Host-to-device link rate for INCOMPRESSIBLE data (MB/s, best of 3)
+    plus the transfer's host-CPU fraction (process-CPU seconds / wall).
 
     Two traps found the hard way: (a) the tunnel transport compresses, so a
     compressible test buffer (np.ones) reads ~2.5x the rate real decoded
     media achieves — random bytes measure the binding rate; (b)
     block_until_ready can return before materialization here, so completion
     is forced by a scalar readback of each fresh buffer.
+
+    The CPU fraction is the third trap (round-3 record): the compressing
+    transport burns host CPU, so on a 1-core host "transfer" is NOT free
+    concurrency — decode and H2D largely serialize.  It is measured, not
+    assumed, so a PCIe host (DMA, fraction ~0) gets the optimistic bound
+    back automatically.
     """
     rng = np.random.RandomState(0)
     bufs = [rng.randint(0, 256, 16 * 1024 * 1024, dtype=np.uint8)
@@ -189,21 +196,55 @@ def measure_h2d_mbps() -> float:
     touch = jax.jit(lambda x: x.ravel()[0].astype(jnp.float32))
     float(touch(jax.device_put(bufs[0])))  # warm path + compile
     best = 0.0
+    wall_total = cpu_total = 0.0
+    hz = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
+    stat0 = _proc_stat_ticks()
     for buf in bufs[1:]:
+        c0 = time.process_time()
         t0 = time.perf_counter()
         float(touch(jax.device_put(buf)))
-        best = max(best, buf.nbytes / 1e6 / (time.perf_counter() - t0))
-    return best
+        wall = time.perf_counter() - t0
+        cpu_total += time.process_time() - c0
+        wall_total += wall
+        best = max(best, buf.nbytes / 1e6 / wall)
+    cpu_fraction = min(1.0, cpu_total / wall_total) if wall_total else 1.0
+    # machine-level busy fraction over the same probes: the tunnel daemon's
+    # compression CPU is OUTSIDE this process, so process_time alone
+    # understates the transfer's true core cost on a shared host
+    machine_fraction = float("nan")
+    if stat0 is not None:
+        total1, idle1 = _proc_stat_ticks()
+        busy_s = ((total1 - stat0[0]) - (idle1 - stat0[1])) / hz
+        # normalize by the probe wall (the loop body is the whole interval)
+        machine_fraction = min(1.0, busy_s / wall_total) if wall_total else 1.0
+    return best, cpu_fraction, machine_fraction
 
 
-def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float, float]:
+def _proc_stat_ticks() -> tuple[float, float] | None:
+    """(total, idle+iowait) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [float(v) for v in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def bench_end_to_end(masks_once, n_clips: int = 192
+                     ) -> tuple[float, float, float, float]:
     """Disk -> decode -> H2D -> encode+mask, fully overlapped.
 
-    Returns (end_to_end clips/s, host-only clips/s, MB/clip shipped).  The
-    host-only number times the identical loader pass with the device leg
-    removed; together with the measured incompressible link rate this
-    decomposes end-to-end into host capacity vs link-bound vs device
-    capacity (min of the three binds).
+    Returns (end_to_end clips/s, host-only clips/s, MB/clip shipped,
+    co-tenant busy fraction during the best run).  The host-only number
+    times the identical loader pass with the device leg removed; together
+    with the measured incompressible link rate and the transfer's measured
+    host-CPU fraction this decomposes end-to-end into host capacity vs
+    link vs device capacity.  NOTE the binding model (established by the
+    round-3 record): stages only overlap to the extent they use DIFFERENT
+    resources — on a 1-core host whose tunnel transport burns CPU to
+    compress, decode CPU and transfer CPU serialize, so the achievable
+    bound is the SERIAL one computed in main(), not min(host, link,
+    device).
 
     Audio ships as a host-computed int16 log-spectrogram
     (audio_transport='spec_int16', ~3e-5 quantization): on a thin
@@ -227,13 +268,29 @@ def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float, floa
             jax.block_until_ready(acc)
 
         # best-of-N: the host side shares cores with co-tenants, so single
-        # runs swing +-50%; the max is the reproducible capacity number
+        # runs swing +-50%; the max is the reproducible capacity number.
+        # Each run also records a co-tenant indicator — the machine-wide
+        # busy CPU time NOT attributable to this process, per wall second
+        # (0 = we had the core to ourselves) — so a future reader can tell
+        # a regression from a noisy neighbor.
         run_once()  # warm: page cache + compile
-        e2e = 0.0
+        hz = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
+        e2e, cotenant = 0.0, float("nan")
         for _ in range(3):
+            stat0 = _proc_stat_ticks()
+            cpu0 = time.process_time()
             t0 = time.perf_counter()
             run_once()
-            e2e = max(e2e, n_clips / (time.perf_counter() - t0))
+            wall = time.perf_counter() - t0
+            cps = n_clips / wall
+            if stat0 is not None:
+                total1, idle1 = _proc_stat_ticks()
+                busy_s = ((total1 - stat0[0]) - (idle1 - stat0[1])) / hz
+                other = max(0.0, busy_s - (time.process_time() - cpu0)) / wall
+            else:
+                other = float("nan")
+            if cps > e2e:
+                e2e, cotenant = cps, other
 
         def host_only():
             n, nbytes = 0, 0
@@ -250,7 +307,7 @@ def bench_end_to_end(masks_once, n_clips: int = 192) -> tuple[float, float, floa
             t0 = time.perf_counter()
             host_only()
             host = max(host, n_clips / (time.perf_counter() - t0))
-    return e2e, host, mb_per_clip
+    return e2e, host, mb_per_clip, cotenant
 
 
 def bench_train_step(rtt: float) -> tuple[float, float, dict]:
@@ -349,7 +406,7 @@ def main():
     # start warm, per-CPU-scoped dir)
     wait_for_backend()
     rtt = measure_rtt()
-    h2d = measure_h2d_mbps()
+    h2d, h2d_cpu_fraction, h2d_machine_fraction = measure_h2d_mbps()
     timed, timed_spec, masks_once, frames, waves, specs = build_pipeline()
     device_cps = bench_device_pipeline(timed, frames, waves, rtt)
     device_spec_cps = bench_device_pipeline(timed_spec, frames, specs, rtt)
@@ -365,8 +422,18 @@ def main():
         rng.randint(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8))
     inf_flops = compiled_flops(masks_once, frames_u8, waves)
     peak = device_peak_flops()
-    e2e_cps, host_cps, mb_per_clip = bench_end_to_end(masks_once)
+    e2e_cps, host_cps, mb_per_clip, cotenant = bench_end_to_end(masks_once)
     link_bound_cps = h2d / mb_per_clip
+    # achievable bound: host decode is pure CPU; the transfer consumes
+    # h2d_cpu_fraction of its wall in host CPU (a compressing tunnel ~1, a
+    # DMA PCIe host ~0).  CPU legs serialize on a shared core; the
+    # transfer's non-CPU remainder and the device leg overlap.  Hence
+    #   per-clip wall >= max(cpu_decode + cpu_transfer, wall_transfer,
+    #                        wall_device)
+    transfer_wall_per_clip = mb_per_clip / h2d
+    serial_cpu_per_clip = (1.0 / host_cps
+                           + h2d_cpu_fraction * transfer_wall_per_clip)
+    serial_bound_cps = 1.0 / serial_cpu_per_clip
     train_ms, train_flops, hbm = bench_train_step(rtt)
     out = {
         "metric": "clips/sec/chip (spectrogram+encode+heatmap, bf16, B=128)",
@@ -376,14 +443,29 @@ def main():
         "end_to_end_clips_per_sec": round(e2e_cps, 1),
         "end_to_end_vs_baseline": round(e2e_cps / NORTH_STAR, 3),
         "host_decode_clips_per_sec": round(host_cps, 1),
-        # stage decomposition: e2e is bounded by min(host decode, link, device)
+        # stage decomposition.  min(host, link, device) is the OPTIMISTIC
+        # bound (valid only when stages overlap on independent resources);
+        # serial_bound accounts for decode CPU + transfer CPU serializing
+        # on a shared core (h2d_cpu_fraction measured, not assumed) and is
+        # the achievable bound on this host.
         "mb_per_clip_shipped": round(mb_per_clip, 3),
         "link_bound_clips_per_sec": round(link_bound_cps, 1),
         # device bound measured with the SAME spec_int16 transport the e2e
         # run ships (its device leg skips the DFT via the passthrough)
         "device_spec_transport_clips_per_sec": round(device_spec_cps, 1),
-        "e2e_fraction_of_binding_stage": round(
-            e2e_cps / min(host_cps, link_bound_cps, device_spec_cps), 3),
+        "h2d_cpu_fraction": round(h2d_cpu_fraction, 3),
+        # machine-wide busy fraction during the H2D probe: captures the
+        # tunnel daemon's out-of-process compression CPU (plus co-tenants)
+        "h2d_machine_busy_fraction": round(h2d_machine_fraction, 3),
+        "serial_bound_clips_per_sec": round(serial_bound_cps, 1),
+        "optimistic_bound_clips_per_sec": round(
+            min(host_cps, link_bound_cps, device_spec_cps), 1),
+        "e2e_fraction_of_achievable_bound": round(
+            e2e_cps / min(serial_bound_cps, link_bound_cps, device_spec_cps),
+            3),
+        # machine-wide busy CPU not from this process during the best e2e
+        # run, per wall second (~0 = clean run; >>0 = noisy neighbor)
+        "cotenant_busy_fraction": round(cotenant, 3),
         "train_step_ms_recipe_batch": round(train_ms, 1),
         "gflops_per_clip_inference": round(inf_flops / BATCH / 1e9, 2),
         "tflops_per_train_step": round(train_flops / 1e12, 2),
