@@ -82,6 +82,17 @@ def _prepare_audio(req: dict, samplerate: int | None,
     return np.clip(samples[:num_samples], -1.0, 1.0).astype(np.float32)
 
 
+class LocalizerHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a serving-grade listen backlog.
+
+    http.server's default request_queue_size is 5: a 64-client burst gets
+    connection-reset errors before a single request is even read (measured
+    — scripts/bench_serving.py at concurrency 64).  128 absorbs bursts up
+    to the micro-batcher's practical coalescing depth."""
+
+    request_queue_size = 128
+
+
 def build_handler(batcher, meta: dict, request_timeout_s: float,
                   max_request_mb: float = 64.0):
     import binascii
@@ -207,7 +218,7 @@ def main(argv=None):
         print(f"warmed {len(runner.buckets)} batch buckets {runner.buckets} "
               f"in {time.monotonic() - t0:.1f}s", flush=True)
     batcher = MicroBatcher(runner, window_ms=a.batch_window_ms)
-    server = ThreadingHTTPServer(
+    server = LocalizerHTTPServer(
         (a.host, a.port), build_handler(batcher, runner.meta,
                                         a.request_timeout_s,
                                         a.max_request_mb))

@@ -23,7 +23,6 @@ import struct
 import sys
 import threading
 import urllib.request
-from http.server import ThreadingHTTPServer
 from pathlib import Path
 
 import numpy as np
@@ -70,13 +69,13 @@ def main(argv=None):
                           backend, "--batch", "b"])
 
     step("4. serve it (in-process HTTP server, micro-batched)")
-    from avtubes.cli.serve import build_handler
+    from avtubes.cli.serve import LocalizerHTTPServer, build_handler
     from avtubes.core.serving import ArtifactRunner, MicroBatcher
 
     runner = ArtifactRunner(artifact.read_bytes(), max_batch=2)
     runner.warmup()
     batcher = MicroBatcher(runner, window_ms=5.0)
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+    httpd = LocalizerHTTPServer(("127.0.0.1", 0),
                                 build_handler(batcher, runner.meta, 300.0))
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{httpd.server_address[1]}"

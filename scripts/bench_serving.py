@@ -1,0 +1,109 @@
+"""Serving-performance record: drive the micro-batched HTTP endpoint.
+
+Measures what DESIGN.md claims about the serving runtime — that request
+micro-batching amortizes the per-call dispatch round trip — with real
+numbers: p50/p99 latency and throughput at concurrency 1/8/64, with the
+micro-batcher ON (window 5 ms, max_batch 64) and OFF (max_batch 1, every
+request its own device call).  The server runs in-process (quickstart
+pattern) with a real-geometry artifact (224x224, 10 s 22.05 kHz audio)
+exported from a fresh init — weights do not affect timing.
+
+    python scripts/bench_serving.py [--concurrency 1,8,64] [--requests 64]
+
+Prints one JSON line per (mode, concurrency) level; paste into DESIGN.md.
+NOTE: client threads, HTTP server threads, and request decode share this
+host's single core — the numbers bound the HOST-side serving stack; the
+device-side cost per clip is ~15 us at bf16 B=128 (bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avtubes.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def build_artifact() -> bytes:
+    from avtubes.core.config import ExperimentConfig
+    from avtubes.core.export import export_localizer
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import AVENet
+    from avtubes.models.avenet import variables_to_s2d
+    from avtubes.train.state import create_train_state
+
+    cfg = ExperimentConfig()
+    spec_cfg = SpectrogramConfig()
+    model = AVENet(s2d_stem=True, dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (jnp.zeros((2, 224, 224, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+        cfg.optim)
+    backend = {"gpu": "cuda"}.get(jax.default_backend(), jax.default_backend())
+    return export_localizer(state, spec_cfg, image_size=224,
+                            platforms=(backend,),
+                            extra_meta={"s2d": True, "quant": None})
+
+
+def serve(blob: bytes, max_batch: int, window_ms: float):
+    from avtubes.cli.serve import LocalizerHTTPServer, build_handler
+    from avtubes.core.serving import ArtifactRunner, MicroBatcher
+
+    runner = ArtifactRunner(blob, max_batch=max_batch)
+    runner.warmup()
+    batcher = MicroBatcher(runner, window_ms=window_ms)
+    handler = build_handler(batcher, runner.meta, 300.0)
+    handler.log_message = lambda *a, **k: None  # keep stdout to result lines
+    httpd = LocalizerHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    return httpd, batcher, url
+
+
+def main():
+    from avtubes.tools.loadtest import _get_json, run_level, synth_payload
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--concurrency", default="1,8,64")
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--payloads", type=int, default=8)
+    args = p.parse_args()
+    levels = [int(c) for c in args.concurrency.split(",")]
+
+    blob = build_artifact()
+    rng = np.random.default_rng(0)
+    payloads = [synth_payload(rng, 224, 22050, 10)
+                for _ in range(args.payloads)]
+
+    results = []
+    for mode, max_batch, window in (("microbatch", 64, 5.0),
+                                    ("no_batching", 1, 0.0)):
+        httpd, batcher, url = serve(blob, max_batch, window)
+        try:
+            for level in levels:
+                body = [payloads[i % len(payloads)]
+                        for i in range(args.requests)]
+                r = run_level(url, body, level, timeout_s=300.0)
+                r["mode"] = mode
+                r["server_stats"] = _get_json(url + "/stats")
+                results.append(r)
+                print(json.dumps(r), flush=True)
+        finally:
+            batcher.close()
+            httpd.shutdown()
+    return results
+
+
+if __name__ == "__main__":
+    main()
