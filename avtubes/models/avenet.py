@@ -64,6 +64,13 @@ class AVENet(nn.Module):
         return hardway_head(img, aud, self.hardway, aud_all=aud_all,
                             pool_offset=pool_offset)
 
+    def head(self, img_feats, aud_feats, aud_all=None, pool_offset=0) -> HardwayOutput:
+        """The hard-way head alone (module method so callers that compute
+        features outside — e.g. the ghost-BN train step, which vmaps the
+        encoders over the view axis — use this module's HardwayConfig)."""
+        return hardway_head(img_feats, aud_feats, self.hardway,
+                            aud_all=aud_all, pool_offset=pool_offset)
+
     def forward_shared_audio(self, frames, audio,
                              train: bool = False) -> HardwayOutput:
         """Forward with one audio clip shared by a group of frames: encode

@@ -129,6 +129,92 @@ def hardway_train_step(
     return state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("loss_weight", "watch"),
+                   donate_argnums=(0,))
+def hardway_train_step_ghost(
+    state: AVTrainState,
+    frames: jnp.ndarray,      # (B, T, H, W, 3) clean view
+    augmented: jnp.ndarray,   # (B, T, H, W, 3) aggressive-augment view
+    spec: jnp.ndarray,        # (B, F, Tt, 1) per-clip log-spectrogram
+    loss_weight: float = 0.1,
+    watch: bool = False,
+) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
+    """`hardway_train_step` with both image views through ONE vmapped
+    encoder pass — ghost BatchNorm over the view axis.
+
+    ``jax.vmap`` over the view axis computes BN batch statistics per view
+    (vmap maps the reduction per slice), so the normalization math is
+    IDENTICAL to the sequential two-pass step; the convs lower to a single
+    batch-2N conv per layer instead of two batch-N launches.  Both views'
+    running-stat updates come out computed from the same pre-step stats
+    s0 (n_i = m*s0 + (1-m)*x_i); the reference's sequential semantics
+    (`train_hardway.py:132-133`: view-1 update then view-2 update) is
+    recomposed in closed form:
+
+        s2 = m*(m*s0 + (1-m)*x1) + (1-m)*x2 = m*n1 + n2 - m*s0
+
+    Equality with the sequential step is pinned by
+    tests/test_two_view.py; the measured step time vs the sequential pass
+    is recorded in DESIGN.md.
+    """
+    b, t = frames.shape[:2]
+    frames_f = _fold_time(frames)
+    augmented_f = _fold_time(augmented)
+    m = 0.9  # TorchBatchNorm momentum (torch BatchNorm2d default 0.1)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        aud, aud_mut = state.apply_fn(
+            variables, spec, True, mutable=["batch_stats"],
+            method="encode_audio")
+        aud_f = jnp.repeat(aud, t, axis=0)
+
+        views = jnp.stack([frames_f, augmented_f])  # (2, B*T, H, W, 3)
+
+        def enc(v):
+            feats, mut = state.apply_fn(
+                variables, v, True, mutable=["batch_stats"],
+                method="encode_image")
+            return feats, mut["batch_stats"]["imgnet"]
+
+        img_both, img_stats_both = jax.vmap(enc)(views)
+        out = state.apply_fn(variables, img_both[0], aud_f, method="head")
+        out2 = state.apply_fn(variables, img_both[1], aud_f, method="head")
+
+        hw = hardway_loss(out.logits) * loss_weight
+        aug = hardway_loss(out2.logits) * loss_weight
+        l2 = consistency_l2(out.weighted_map, out2.weighted_map) * (100.0 - loss_weight)
+        att1 = out.weighted_map.reshape(b, t, *out.weighted_map.shape[1:])
+        att2 = out2.weighted_map.reshape(b, t, *out2.weighted_map.shape[1:])
+        prop = propagation_loss(att1) + propagation_loss(att2)
+        combined = (hw + aug) / 2.0 + l2 + prop
+        metrics = {
+            "loss": combined, "hardway_loss": hw, "aug_loss": aug,
+            "l2_loss": l2, "consistency_loss": prop,
+        }
+        # sequential view-1-then-view-2 EMA recomposed from the two
+        # same-origin updates (exact; see docstring)
+        img_stats = jax.tree_util.tree_map(
+            lambda n, o: m * n[0] + n[1] - m * o,
+            img_stats_both, state.batch_stats["imgnet"])
+        new_stats = {
+            **state.batch_stats,
+            "imgnet": img_stats,
+            "audnet": aud_mut["batch_stats"]["audnet"],
+        }
+        return combined, (new_stats, metrics)
+
+    old_stats = state.batch_stats
+    grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(
+        batch_stats=_advance_audio_stats(old_stats, new_stats))
+    if watch:
+        metrics.update(pytree_group_norms(grads, "grad_norm"))
+        metrics.update(pytree_group_norms(state.params, "param_norm"))
+    return state, metrics
+
+
 @functools.partial(jax.jit, static_argnames=("watch",), donate_argnums=(0,))
 def hardway_1frame_train_step(
     state: AVTrainState,
@@ -156,7 +242,8 @@ def hardway_1frame_train_step(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("loss_weight", "spec_cfg", "image_size", "watch"),
+                   static_argnames=("loss_weight", "spec_cfg", "image_size",
+                                    "watch", "ghost"),
                    donate_argnums=(0,))
 def hardway_fused_train_step(
     state: AVTrainState,
@@ -167,6 +254,8 @@ def hardway_fused_train_step(
     loss_weight: float = 0.1,
     image_size: int = 224,
     watch: bool = False,
+    ghost: bool = False,        # both views in one vmapped encoder pass
+    #                             (ghost BN over the view axis; same math)
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """The whole training step as ONE program: log-spectrogram (DFT matmuls),
     two-view augmentation, both forward passes, 4-term loss, Adam update.
@@ -180,11 +269,13 @@ def hardway_fused_train_step(
 
     spec = log_spectrogram(waveforms, spec_cfg)[..., None]
     v1, v2 = augment_train_batch(key, clips_uint8, image_size)
-    return hardway_train_step(state, v1, v2, spec, loss_weight, watch)
+    step = hardway_train_step_ghost if ghost else hardway_train_step
+    return step(state, v1, v2, spec, loss_weight, watch)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("loss_weight", "spec_cfg", "image_size", "watch"),
+                   static_argnames=("loss_weight", "spec_cfg", "image_size",
+                                    "watch", "ghost"),
                    donate_argnums=(0,))
 def hardway_multi_step(
     state: AVTrainState,
@@ -195,6 +286,7 @@ def hardway_multi_step(
     loss_weight: float = 0.1,
     image_size: int = 224,
     watch: bool = False,
+    ghost: bool = False,
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """G sequential optimizer steps inside ONE program (lax.scan).
 
@@ -206,7 +298,8 @@ def hardway_multi_step(
     def body(st, inputs):
         clips, waves, key = inputs
         st, metrics = hardway_fused_train_step(
-            st, clips, waves, key, spec_cfg, loss_weight, image_size, watch)
+            st, clips, waves, key, spec_cfg, loss_weight, image_size, watch,
+            ghost)
         return st, metrics
 
     state, metrics = jax.lax.scan(body, state, (clips_uint8, waveforms, keys))

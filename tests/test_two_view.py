@@ -45,6 +45,48 @@ def test_two_view_forward_matches_repeated_audio():
                                np.asarray(out2_naive.heatmap), atol=1e-5)
 
 
+def test_ghost_step_matches_sequential_step():
+    """hardway_train_step_ghost (one vmapped encoder pass, per-view ghost-BN
+    stats) == hardway_train_step (two sequential passes): identical loss,
+    updated params, and BN running stats."""
+    from avtubes.core.config import OptimConfig
+    from avtubes.train.state import create_train_state
+    from avtubes.train.steps import hardway_train_step, hardway_train_step_ghost
+
+    rng = np.random.RandomState(2)
+    b, t, s = 2, 3, 64
+    frames = jnp.asarray(rng.randn(b, t, s, s, 3), jnp.float32)
+    augmented = jnp.asarray(rng.randn(b, t, s, s, 3), jnp.float32)
+    spec = jnp.asarray(rng.randn(b, s, s, 1), jnp.float32)
+
+    def fresh_state():
+        return create_train_state(
+            AVENet(), jax.random.PRNGKey(3),
+            (jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 1))),
+            OptimConfig())
+
+    st_seq, m_seq = hardway_train_step(fresh_state(), frames, augmented, spec)
+    st_gho, m_gho = hardway_train_step_ghost(fresh_state(), frames, augmented, spec)
+
+    np.testing.assert_allclose(float(m_gho["loss"]), float(m_seq["loss"]),
+                               rtol=1e-5)
+    for key in ("hardway_loss", "aug_loss", "l2_loss", "consistency_loss"):
+        np.testing.assert_allclose(float(m_gho[key]), float(m_seq[key]),
+                                   rtol=1e-4, atol=1e-6)
+    flat_seq, _ = jax.tree_util.tree_flatten_with_path(st_seq.params)
+    flat_gho = jax.tree_util.tree_leaves(st_gho.params)
+    for (path, a), bleaf in zip(flat_seq, flat_gho):
+        np.testing.assert_allclose(
+            np.asarray(bleaf), np.asarray(a), rtol=1e-4, atol=2e-6,
+            err_msg=f"params mismatch at {jax.tree_util.keystr(path)}")
+    flat_seq, _ = jax.tree_util.tree_flatten_with_path(st_seq.batch_stats)
+    flat_gho = jax.tree_util.tree_leaves(st_gho.batch_stats)
+    for (path, a), bleaf in zip(flat_seq, flat_gho):
+        np.testing.assert_allclose(
+            np.asarray(bleaf), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_two_view_gradients_flow_to_audio_once():
     """Gradient through the tiled audio features equals the sum over uses."""
     rng = np.random.RandomState(1)
