@@ -175,8 +175,9 @@ def bench_device_pipeline(timed, frames, waves, rtt: float) -> float:
 
 
 def measure_h2d_mbps() -> tuple[float, float]:
-    """Host-to-device link rate for INCOMPRESSIBLE data (MB/s, best of 3)
-    plus the transfer's host-CPU fraction (process-CPU seconds / wall).
+    """Host-to-device link rate for INCOMPRESSIBLE data (MB/s, best of 6
+    probes in two spaced rounds) plus the transfer's host-CPU fraction
+    (process-CPU seconds / wall).
 
     Two traps found the hard way: (a) the tunnel transport compresses, so a
     compressible test buffer (np.ones) reads ~2.5x the rate real decoded
@@ -196,10 +197,18 @@ def measure_h2d_mbps() -> tuple[float, float]:
     touch = jax.jit(lambda x: x.ravel()[0].astype(jnp.float32))
     float(touch(jax.device_put(bufs[0])))  # warm path + compile
     best = 0.0
-    wall_total = cpu_total = 0.0
+    wall_total = cpu_total = busy_ticks = 0.0
     hz = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
-    stat0 = _proc_stat_ticks()
-    for buf in bufs[1:]:
+    # two spaced probe rounds: a single short window can land entirely
+    # inside a co-tenant stall and report half the link's real rate (seen
+    # in a round-4 run: probe 22.4 MB/s while the e2e pipeline itself
+    # sustained 41.7) — `best` over spaced draws is the capacity estimate.
+    # /proc/stat is sampled per-probe so the inter-round sleep doesn't
+    # pollute the machine-busy window.
+    for i, buf in enumerate(bufs[1:] + bufs[1:]):
+        if i == 3:
+            time.sleep(2.0)
+        stat0 = _proc_stat_ticks()
         c0 = time.process_time()
         t0 = time.perf_counter()
         float(touch(jax.device_put(buf)))
@@ -207,16 +216,16 @@ def measure_h2d_mbps() -> tuple[float, float]:
         cpu_total += time.process_time() - c0
         wall_total += wall
         best = max(best, buf.nbytes / 1e6 / wall)
+        if stat0 is not None:
+            total1, idle1 = _proc_stat_ticks()
+            busy_ticks += (total1 - stat0[0]) - (idle1 - stat0[1])
     cpu_fraction = min(1.0, cpu_total / wall_total) if wall_total else 1.0
     # machine-level busy fraction over the same probes: the tunnel daemon's
     # compression CPU is OUTSIDE this process, so process_time alone
     # understates the transfer's true core cost on a shared host
     machine_fraction = float("nan")
-    if stat0 is not None:
-        total1, idle1 = _proc_stat_ticks()
-        busy_s = ((total1 - stat0[0]) - (idle1 - stat0[1])) / hz
-        # normalize by the probe wall (the loop body is the whole interval)
-        machine_fraction = min(1.0, busy_s / wall_total) if wall_total else 1.0
+    if _proc_stat_ticks() is not None and wall_total:
+        machine_fraction = min(1.0, (busy_ticks / hz) / wall_total)
     return best, cpu_fraction, machine_fraction
 
 
@@ -423,6 +432,15 @@ def main():
     inf_flops = compiled_flops(masks_once, frames_u8, waves)
     peak = device_peak_flops()
     e2e_cps, host_cps, mb_per_clip, cotenant = bench_end_to_end(masks_once)
+    # the e2e run is itself a link measurement: it shipped mb_per_clip x
+    # e2e_cps MB/s of incompressible data through the same link (while ALSO
+    # decoding), so that rate is a demonstrated lower bound on link
+    # capacity.  Flooring the probe with it keeps the bound self-consistent
+    # when the probe's window caught a co-tenant stall (a round-4 run
+    # probed 22.4 MB/s while its own e2e leg sustained 41.7 — which would
+    # report a nonsensical fraction-of-bound of 1.86).
+    h2d_probe = h2d
+    h2d = max(h2d, e2e_cps * mb_per_clip)
     link_bound_cps = h2d / mb_per_clip
     # achievable bound: host decode is pure CPU; the transfer consumes
     # h2d_cpu_fraction of its wall in host CPU (a compressing tunnel ~1, a
@@ -470,7 +488,10 @@ def main():
         "gflops_per_clip_inference": round(inf_flops / BATCH / 1e9, 2),
         "tflops_per_train_step": round(train_flops / 1e12, 2),
         "rtt_ms_measured": round(rtt * 1000.0, 2),
+        # effective = max(probe, rate the e2e run itself demonstrably
+        # sustained); probe kept so a stalled-probe run is identifiable
         "h2d_mbps_measured": round(h2d, 1),
+        "h2d_mbps_probe": round(h2d_probe, 1),
         "host_cores": os.cpu_count(),
         **hbm,
     }
