@@ -40,7 +40,11 @@ class DataConfig:
                                        #   spectrogram, int16 fixed-point
                                        #   (halves audio bytes AGAIN, ~3e-5
                                        #   quantization, ~4 ms/clip/core) —
-                                       #   for thin host->device links
+                                       #   for thin host->device links;
+                                       # 'spec_int8' OPT-IN int8 spectrogram
+                                       #   (halves spec bytes again, ~8e-3
+                                       #   quantization — NOT parity-grade;
+                                       #   measured deltas in DESIGN.md)
 
     prefetch: int = 2                  # device prefetch depth
     eval_batch_size: int = 32          # hard-way eval batch (per-sample
@@ -143,10 +147,12 @@ class ExperimentConfig:
                             "(wandb.watch parity; 0 = off)")
         p.add_argument("--eval_batch_size", default=32, type=int)
         p.add_argument("--audio_transport", default="int16", type=str,
-                       choices=["float32", "int16", "spec_int16"],
+                       choices=["float32", "int16", "spec_int16", "spec_int8"],
                        help="audio payload: raw f32, int16 PCM (lossless for "
-                            "16-bit sources), or host-computed int16 "
-                            "log-spectrogram (thin-link mode)")
+                            "16-bit sources), host-computed int16 "
+                            "log-spectrogram (thin-link mode), or opt-in "
+                            "int8 spectrogram (thinnest links; ~8e-3 "
+                            "quantization — validate metrics first)")
         a = p.parse_args(argv)
         cfg = cls(
             data=DataConfig(

@@ -87,17 +87,24 @@ def _finalize_waveform(wav: np.ndarray, cfg: DataConfig) -> np.ndarray:
                  quantization, half the bytes again).  The batch still
                  travels under the "waveform" key; `log_spectrogram`'s
                  static-shape passthrough dequantizes on device, so every
-                 consumer works with either transport.
+                 consumer works with either transport;
+    'spec_int8'  OPT-IN int8 spectrogram (~8e-3 quantization — NOT
+                 parity-grade; measured metric deltas in DESIGN.md) for
+                 links thin enough that the spectrogram's bytes bind the
+                 end-to-end rate.
     """
-    if cfg.audio_transport == "spec_int16":
+    if cfg.audio_transport in ("spec_int16", "spec_int8"):
         from avtubes.data.spectrogram import (
             SpectrogramConfig,
             log_spectrogram_np_f32,
             quantize_int16_spectrogram,
+            spec_int16_to_int8,
         )
 
+        to_int8 = cfg.audio_transport == "spec_int8"
         spec_cfg = SpectrogramConfig(samplerate=cfg.samplerate,
                                      seconds=cfg.audio_seconds)
+        out = None
         try:  # native C++ real-FFT (~2x the numpy path per core, no GIL)
             from avtubes import native
 
@@ -105,11 +112,12 @@ def _finalize_waveform(wav: np.ndarray, cfg: DataConfig) -> np.ndarray:
                 out = native.log_spectrogram_i16(
                     wav, spec_cfg.samplerate, spec_cfg.nperseg,
                     spec_cfg.noverlap, spec_cfg.num_freqs, spec_cfg.num_frames)
-                if out is not None:
-                    return out
         except ImportError:
             pass
-        return quantize_int16_spectrogram(log_spectrogram_np_f32(wav, spec_cfg))
+        if out is None:
+            out = quantize_int16_spectrogram(
+                log_spectrogram_np_f32(wav, spec_cfg))
+        return spec_int16_to_int8(out) if to_int8 else out
     if cfg.audio_transport == "int16":
         from avtubes.data.spectrogram import quantize_int16_waveform
 
@@ -206,7 +214,7 @@ class BatchedHardwayLoader:
         self.epoch_skipped = 0
         cfg = self.cfg
         target = cfg.samplerate * cfg.audio_seconds
-        spec_transport = cfg.audio_transport == "spec_int16"
+        spec_transport = cfg.audio_transport in ("spec_int16", "spec_int8")
         if spec_transport:
             from avtubes.data.spectrogram import SpectrogramConfig
 
@@ -226,6 +234,10 @@ class BatchedHardwayLoader:
                     wpaths, cfg.audio_seconds, target, sc.samplerate,
                     sc.nperseg, sc.noverlap, sc.num_freqs, sc.num_frames,
                     threads=self.threads)
+                if cfg.audio_transport == "spec_int8":
+                    from avtubes.data.spectrogram import spec_int16_to_int8
+
+                    waves = spec_int16_to_int8(waves)
             else:
                 waves, rates = native.decode_wav_batch(
                     wpaths, cfg.audio_seconds, target, threads=self.threads)
@@ -285,7 +297,7 @@ def make_hardway_loader(root, ids, cfg: DataConfig, batch_size: int,
     back to per-sample."""
     import os
 
-    default = ("batched" if cfg.audio_transport == "spec_int16"
+    default = ("batched" if cfg.audio_transport.startswith("spec_int")
                else "per_sample")
     mode = mode or os.environ.get("AVTUBES_EVAL_LOADER", default)
     if mode == "batched":

@@ -123,6 +123,31 @@ def quantize_int16_spectrogram(spec: np.ndarray) -> np.ndarray:
                    -32768, 32767).astype(np.int16)
 
 
+#: fixed-point scale for the OPT-IN int8 log-spectrogram transport, chosen
+#: to represent the same [-2.048, +2.048] range as the int16 transport
+#: (127/62 = 2.048) at 1/124 ~ 8.1e-3 absolute quantization.  That is NOT
+#: parity-grade (the int16 transport's 3.1e-5 is); it exists for thin
+#: host->device links where the spectrogram is the larger half of the
+#: shipped bytes — measured metric deltas are recorded in DESIGN.md and
+#: must be validated per deployment like int8 conv quant.
+SPEC_INT8_SCALE = 62.0
+
+
+def quantize_int8_spectrogram(spec: np.ndarray) -> np.ndarray:
+    """Host-side int8 transport quantization of a normalized log-spectrogram
+    (inverse applied on device by `log_spectrogram`'s passthrough branch)."""
+    return np.clip(np.rint(spec * SPEC_INT8_SCALE), -128, 127).astype(np.int8)
+
+
+def spec_int16_to_int8(spec16: np.ndarray) -> np.ndarray:
+    """Requantize an int16-transport spectrogram to the int8 transport —
+    lets the fused native decode+STFT batch path (which emits int16) serve
+    the int8 transport without recomputing the STFT."""
+    return np.clip(np.rint(spec16.astype(np.float32)
+                           * (SPEC_INT8_SCALE / SPEC_INT16_SCALE)),
+                   -128, 127).astype(np.int8)
+
+
 def log_spectrogram_np_f32(x: np.ndarray,
                            cfg: SpectrogramConfig = SpectrogramConfig()) -> np.ndarray:
     """Fast float32 HOST log-spectrogram (~3.9 ms/clip/core vs ~9 ms for the
@@ -217,6 +242,8 @@ def log_spectrogram(x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()
     transport unchanged.
     """
     if x.ndim >= 2 and tuple(x.shape[-2:]) == cfg.shape:
+        if x.dtype == jnp.int8:
+            return x.astype(jnp.float32) * (1.0 / SPEC_INT8_SCALE)
         if jnp.issubdtype(x.dtype, jnp.integer):
             return x.astype(jnp.float32) * (1.0 / SPEC_INT16_SCALE)
         return x.astype(jnp.float32)

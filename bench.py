@@ -239,7 +239,8 @@ def _proc_stat_ticks() -> tuple[float, float] | None:
         return None
 
 
-def bench_end_to_end(masks_once, n_clips: int = 192
+def bench_end_to_end(masks_once, n_clips: int = 192,
+                     transport: str = "spec_int16"
                      ) -> tuple[float, float, float, float]:
     """Disk -> decode -> H2D -> encode+mask, fully overlapped.
 
@@ -266,7 +267,7 @@ def bench_end_to_end(masks_once, n_clips: int = 192
 
     with tempfile.TemporaryDirectory() as root:
         ids = write_synthetic_dataset(root, n_videos=n_clips, frames=1, seconds=10)
-        cfg = DataConfig(audio_transport="spec_int16")
+        cfg = DataConfig(audio_transport=transport)
         loader = make_hardway_loader(root, ids, cfg, batch_size=64,
                                      num_workers=max(2, (os.cpu_count() or 1)))
 
@@ -498,6 +499,15 @@ def main():
     if int8_cps:
         out["int8_clips_per_sec"] = round(int8_cps, 1)
         out["int8_speedup_vs_bf16"] = round(int8_cps / device_cps, 3)
+    # opt-in spec_int8 transport (halves the shipped spectrogram bytes;
+    # ~8e-3 quantization — metric deltas measured in DESIGN.md): its e2e
+    # rate shows what the thin-link mode buys when the link binds
+    try:
+        e2e8, _, mb8, _ = bench_end_to_end(masks_once, transport="spec_int8")
+        out["e2e_spec_int8_clips_per_sec"] = round(e2e8, 1)
+        out["spec_int8_mb_per_clip"] = round(mb8, 3)
+    except Exception as e:
+        print(f"bench: spec_int8 e2e skipped: {e!r}", file=__import__("sys").stderr)
     if peak:
         out["mfu_inference"] = round(inf_flops / BATCH * device_cps / peak, 3)
         out["mfu_train"] = round(train_flops / (train_ms / 1e3) / peak, 3)

@@ -345,6 +345,26 @@ def test_batched_hardway_loader_matches_per_sample(dataset):
         np.testing.assert_array_equal(ba["waveform"], bb["waveform"])
 
 
+def test_batched_hardway_loader_spec_int8(dataset):
+    """Under the opt-in spec_int8 transport the fused native batch path
+    (int16 STFT requantized to int8) and the per-sample path must emit the
+    same int8 payload."""
+    from avtubes import native
+    from avtubes.data.pipeline import BatchedHardwayLoader
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root, ids = dataset
+    cfg = DataConfig(audio_transport="spec_int8")
+    per_sample = BatchLoader(HardwayTestSource(root, ids, cfg), batch_size=2,
+                             num_workers=2, shuffle=False, drop_last=False)
+    batched = BatchedHardwayLoader(root, ids, cfg, batch_size=2)
+    for ba, bb in zip(per_sample.epoch(0), batched.epoch(0)):
+        assert ba["id"] == bb["id"]
+        assert ba["waveform"].dtype == bb["waveform"].dtype == np.int8
+        np.testing.assert_array_equal(ba["waveform"], bb["waveform"])
+
+
 def test_batched_hardway_loader_skips_bad(dataset, tmp_path):
     import shutil
 

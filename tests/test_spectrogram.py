@@ -185,6 +185,65 @@ def test_spec_int16_transport_roundtrip():
     assert np.abs(via_spec - via_wave).max() < 2e-4
 
 
+def test_spec_int8_transport_roundtrip():
+    """spec_int8 transport (opt-in): host spectrogram -> int8 -> device
+    passthrough dequantization lands within half a quantization step
+    (1/124 ~ 8.1e-3) of the device waveform path, and the int16->int8
+    requantizer used by the fused native batch path agrees with direct
+    quantization to within one step."""
+    from avtubes.data.spectrogram import (
+        SPEC_INT8_SCALE,
+        log_spectrogram_np_f32,
+        quantize_int8_spectrogram,
+        quantize_int16_spectrogram,
+        spec_int16_to_int8,
+    )
+
+    rng = np.random.RandomState(4)
+    cfg = SpectrogramConfig(samplerate=16000, seconds=1)
+    x = np.clip(rng.randn(2, cfg.num_samples) * 0.3, -1, 1).astype(np.float32)
+    via_wave = np.asarray(log_spectrogram(x, cfg))
+    host = np.stack([log_spectrogram_np_f32(xi, cfg) for xi in x])
+    payload = quantize_int8_spectrogram(host)
+    assert payload.dtype == np.int8 and payload.shape[-2:] == cfg.shape
+    via_spec = np.asarray(log_spectrogram(payload, cfg))  # passthrough branch
+    assert np.abs(via_spec - via_wave).max() < 0.5 / SPEC_INT8_SCALE + 1e-4
+    # fused-native-path equivalence: int16 payload requantized to int8
+    via16 = spec_int16_to_int8(quantize_int16_spectrogram(host))
+    assert np.abs(via16.astype(np.int32) - payload.astype(np.int32)).max() <= 1
+
+
+def test_spec_int8_through_pipeline(tmp_path):
+    """A loader configured with audio_transport='spec_int8' emits (F, T)
+    int8 payloads whose device dequantization tracks the f64 reference
+    spectrogram within the int8 quantization step."""
+    from avtubes.core.config import DataConfig
+    from avtubes.data.audio import write_wav
+    from avtubes.data.pipeline import HardwayTestSource
+    from avtubes.data.spectrogram import SPEC_INT8_SCALE
+    from PIL import Image
+
+    root = tmp_path
+    (root / "frames").mkdir()
+    (root / "audio").mkdir()
+    rng = np.random.RandomState(6)
+    Image.fromarray(rng.randint(0, 256, (64, 64, 3), np.uint8)).save(
+        root / "frames" / "v0.jpg")
+    wav = np.clip(rng.randn(16000) * 0.2, -1, 1).astype(np.float32)
+    write_wav(root / "audio" / "v0.wav", wav, 16000)
+
+    cfg = DataConfig(samplerate=16000, audio_seconds=1, image_size=64,
+                     audio_transport="spec_int8")
+    spec_cfg = SpectrogramConfig(samplerate=16000, seconds=1)
+    sample = HardwayTestSource(root, ["v0"], cfg).load(0)
+    assert sample["waveform"].dtype == np.int8
+    assert sample["waveform"].shape == spec_cfg.shape
+    spec = np.asarray(log_spectrogram(sample["waveform"], spec_cfg))
+    ref = log_spectrogram_np(
+        np.asarray(prepare_waveform(wav, 16000, 1), np.float64)[:16000], spec_cfg)
+    assert np.abs(spec - ref).max() < 1.0 / SPEC_INT8_SCALE
+
+
 def test_spec_transport_through_pipeline(tmp_path):
     """A loader configured with audio_transport='spec_int16' emits (F, T)
     int16 payloads that every consumer can feed through log_spectrogram."""
