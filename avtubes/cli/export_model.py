@@ -18,6 +18,14 @@ activation + per-channel weight quantization; the MXU's int8 path is 2x
 its bf16 peak).  Unlike --s2d this is an approximation — pass --validate
 to measure what it costs in metric terms.
 
+`--audio_transport {float32,int16,spec_int16,spec_int8}` sets the
+artifact's audio INPUT encoding (default float32 waveform): 'int16' PCM
+halves request/H2D audio bytes bit-identically for 16-bit sources;
+'spec_int16'/'spec_int8' take host-computed spectrogram payloads (the
+training pipeline's thin-link transports — the serve CLI encodes request
+WAVs automatically, and `--validate` scores the transport's quantization
+cost along with everything else).
+
 `--validate [N]` scores the written artifact against the checkpoint's f32
 pipeline on an N-sample synthetic boxed eval set (default 16) and prints
 the cIoU@0.5/AUC deltas plus mask/heatmap agreement as one JSON line.  If
@@ -61,6 +69,7 @@ def main(argv=None):
     quant = take("--quant")
     if quant not in (None, "int8"):
         raise SystemExit(f"--quant supports only 'int8', got {quant!r}")
+    audio_transport = take("--audio_transport", "float32")
     validate_tol = float(take("--validate_tol", "0.01"))
     validate_n = 0
     if "--validate" in argv:
@@ -127,10 +136,12 @@ def main(argv=None):
 
     blob = export_localizer(state, spec_cfg, batch=batch,
                             image_size=d.image_size, platforms=platforms,
-                            extra_meta={"s2d": s2d, "quant": quant})
+                            extra_meta={"s2d": s2d, "quant": quant},
+                            audio_transport=audio_transport)
     Path(out).write_bytes(blob)
     print(f"wrote {out} ({len(blob) / 1e6:.1f} MB, batch={batch}, "
-          f"platforms={platforms or 'default'})")
+          f"platforms={platforms or 'default'}, "
+          f"audio_transport={audio_transport})")
 
     if validate_n:
         import json

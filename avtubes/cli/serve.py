@@ -32,6 +32,13 @@ side bicubic-resized and center-cropped to the export's image_size; audio
 is tiled/clipped to the export's samplerate x seconds exactly like the
 training pipeline (`avtubes.data.audio.prepare_waveform`); WAVs at a
 different samplerate are linearly resampled first.
+
+The REQUEST format is the same for every artifact; what changes with the
+artifact's `audio_transport` (export_model --audio_transport) is the
+payload the handler thread ships to the device: 'int16' re-quantizes the
+waveform (bit-identical for 16-bit sources, half the H2D bytes),
+'spec_int16'/'spec_int8' compute the log-spectrogram host-side (the
+training pipeline's thin-link transports).
 """
 
 from __future__ import annotations
@@ -101,13 +108,47 @@ def build_handler(batcher, meta: dict, request_timeout_s: float,
     from avtubes.data.transforms import eval_frame_from_bytes
 
     image_size = int(meta["image_size"])
-    num_samples = int(meta["num_samples"])
     samplerate = meta.get("samplerate")
     samplerate = int(samplerate) if samplerate else None
     if samplerate is None:
         print("WARNING: headerless artifact (unknown export samplerate); "
               "request audio is used at its own rate without resampling",
               flush=True)
+
+    # audio transport: requests always carry a WAV/PCM waveform; the handler
+    # thread encodes it into the artifact's wire payload (int16 PCM or a
+    # host spectrogram) so the device call ships the minimum bytes and the
+    # per-request host work parallelizes across handler threads
+    transport = meta.get("audio_transport", "float32")
+    ns = meta.get("num_samples")
+    if ns is None:
+        raise ValueError(
+            f"artifact takes {transport!r} audio but its header is missing "
+            "num_samples — re-export with avtubes.cli.export_model")
+    num_samples = int(ns)
+    spec_cfg = None
+    if transport.startswith("spec"):
+        from avtubes.data.spectrogram import SpectrogramConfig
+
+        if samplerate is None or not meta.get("seconds"):
+            raise ValueError(
+                f"artifact takes {transport!r} audio but its header is "
+                "missing samplerate/seconds — re-export with "
+                "avtubes.cli.export_model")
+        spec_cfg = SpectrogramConfig(samplerate=samplerate,
+                                     seconds=int(meta["seconds"]))
+
+    def encode_audio(wave: np.ndarray) -> np.ndarray:
+        if transport == "int16":
+            from avtubes.data.spectrogram import quantize_int16_waveform
+
+            return quantize_int16_waveform(wave)
+        if spec_cfg is not None:
+            from avtubes.data.spectrogram import prepare_audio_payload
+
+            return prepare_audio_payload(wave[None], transport, spec_cfg)[0]
+        return wave
+
     max_body = int(max_request_mb * 1e6)
 
     class Handler(BaseHTTPRequestHandler):
@@ -155,7 +196,8 @@ def build_handler(batcher, meta: dict, request_timeout_s: float,
                     raise ValueError("request body must be a JSON object")
                 frame = eval_frame_from_bytes(
                     base64.b64decode(req["image"]), image_size)
-                wave = _prepare_audio(req, samplerate, num_samples)
+                wave = encode_audio(_prepare_audio(req, samplerate,
+                                                   num_samples))
             except (KeyError, TypeError, ValueError, OSError,
                     binascii.Error, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
@@ -224,7 +266,8 @@ def main(argv=None):
                                         a.max_request_mb))
     print(f"serving {a.model} on http://{server.server_address[0]}:"
           f"{server.server_address[1]} (image_size={runner.image_size}, "
-          f"num_samples={runner.num_samples})", flush=True)
+          f"num_samples={runner.num_samples}, "
+          f"audio_transport={runner.audio_transport})", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

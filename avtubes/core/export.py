@@ -60,22 +60,38 @@ _MAGIC = b"AVTMETA1"
 def export_localizer(state, spec_cfg, batch: int | str = "b",
                      image_size: int = 224,
                      platforms: tuple[str, ...] | None = None,
-                     extra_meta: dict | None = None) -> bytes:
+                     extra_meta: dict | None = None,
+                     audio_transport: str = "float32") -> bytes:
     """Serialize the inference pipeline to a portable StableHLO artifact.
 
     batch: an int for a fixed batch, or a dim-variable name (default "b")
     for a batch-polymorphic artifact.
+
+    audio_transport: the artifact's audio INPUT encoding — 'float32'
+    waveform (default), 'int16' PCM waveform (half the request/H2D bytes,
+    dequantized in-program by the exact inverse of the WAV reader's
+    normalization, so bit-identical for 16-bit sources), or host-computed
+    'spec_int16'/'spec_int8' log-spectrogram payloads (the training
+    pipeline's thin-link transports; the program skips the device STFT).
+    `log_spectrogram`'s static shape/dtype dispatch decodes all of them,
+    so the exported program body is the same pipeline either way.
     """
     import json
     import struct
+
+    import numpy as np
+
+    from avtubes.data.spectrogram import audio_payload_spec
 
     pipeline = _pipeline_fn(state, spec_cfg)
     if isinstance(batch, str):
         (bdim,) = jexport.symbolic_shape(batch)
     else:
         bdim = batch
+    audio_shape, audio_dtype = audio_payload_spec(audio_transport, spec_cfg)
     frames_spec = jax.ShapeDtypeStruct((bdim, image_size, image_size, 3), jnp.uint8)
-    waves_spec = jax.ShapeDtypeStruct((bdim, spec_cfg.num_samples), jnp.float32)
+    waves_spec = jax.ShapeDtypeStruct((bdim, *audio_shape),
+                                      jnp.dtype(audio_dtype))
     exported = jexport.export(jax.jit(pipeline), platforms=platforms)(
         frames_spec, waves_spec)
     meta = {
@@ -85,6 +101,7 @@ def export_localizer(state, spec_cfg, batch: int | str = "b",
         "num_samples": int(spec_cfg.num_samples),
         "batch": batch if isinstance(batch, int) else None,
         "platforms": list(platforms) if platforms else None,
+        "audio_transport": audio_transport,
         **(extra_meta or {}),
     }
     head = json.dumps(meta, sort_keys=True).encode()
@@ -107,14 +124,28 @@ def load_artifact(blob: bytes):
         payload = blob[len(_MAGIC) + 4 + n :]
     else:
         meta, payload = None, blob
+    import numpy as np
+
     exported = jexport.deserialize(payload)
     frames_aval, waves_aval = exported.in_avals
     b = frames_aval.shape[0]
+    # the program itself is the ground truth for the audio input contract:
+    # a 3-d audio aval is a host-spectrogram payload (int8/int16 by dtype),
+    # a 2-d one is a waveform (int16 PCM or f32)
+    if waves_aval.ndim == 3:
+        transport = ("spec_int8" if waves_aval.dtype == np.int8
+                     else "spec_int16")
+    else:
+        transport = "int16" if waves_aval.dtype == np.int16 else "float32"
     derived = {
         "image_size": int(frames_aval.shape[1]),
-        "num_samples": int(waves_aval.shape[1]),
         "batch": int(b) if isinstance(b, int) else None,
+        "audio_transport": transport,
+        "audio_shape": [int(s) for s in waves_aval.shape[1:]],
+        "audio_dtype": np.dtype(waves_aval.dtype).name,
     }
+    if waves_aval.ndim == 2:
+        derived["num_samples"] = int(waves_aval.shape[1])
     if meta is None:
         meta = derived
     else:
@@ -165,6 +196,12 @@ def validate_artifact(state, blob: bytes, spec_cfg, image_size: int = 224,
     masks_ref, heat_ref = jax.device_get(ref_fn(frames, waves))
 
     art_fn, meta = load_artifact(blob)
+    from avtubes.data.spectrogram import prepare_audio_payload
+
+    # encode the eval waveforms into the artifact's own audio transport
+    # (a transport artifact's deltas then INCLUDE its quantization cost)
+    waves = prepare_audio_payload(
+        waves, meta.get("audio_transport", "float32"), spec_cfg)
     fixed = meta.get("batch")
     if fixed:  # fixed-batch artifact: run in padded chunks of that size
         masks_chunks, heat_chunks = [], []

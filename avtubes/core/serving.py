@@ -88,7 +88,20 @@ class ArtifactRunner:
 
         self.fn, self.meta = load_artifact(blob)
         self.image_size = int(self.meta["image_size"])
-        self.num_samples = int(self.meta["num_samples"])
+        ns = self.meta.get("num_samples")
+        self.num_samples = int(ns) if ns else None
+        # audio input contract (derived from the program by load_artifact):
+        # 'float32'/'int16' waveforms or 'spec_int16'/'spec_int8' payloads
+        self.audio_transport = self.meta["audio_transport"]
+        self.audio_shape = tuple(self.meta["audio_shape"])
+        self.audio_dtype = np.dtype(self.meta["audio_dtype"])
+        self._spec_cfg = None
+        if self.meta.get("samplerate") and self.meta.get("seconds"):
+            from avtubes.data.spectrogram import SpectrogramConfig
+
+            self._spec_cfg = SpectrogramConfig(
+                samplerate=int(self.meta["samplerate"]),
+                seconds=int(self.meta["seconds"]))
         fixed = self.meta.get("batch")
         if fixed:
             self.buckets = [int(fixed)]
@@ -113,14 +126,44 @@ class ArtifactRunner:
         for b in self.buckets:
             self.run(
                 np.zeros((b, self.image_size, self.image_size, 3), np.uint8),
-                np.zeros((b, self.num_samples), np.float32),
+                np.zeros((b, *self.audio_shape), self.audio_dtype),
             )
 
+    def prepare_audio(self, waves: np.ndarray) -> np.ndarray:
+        """Encode (n, num_samples) float waveforms into the artifact's
+        audio transport payload (host-side; no-op for 'float32')."""
+        from avtubes.data.spectrogram import prepare_audio_payload
+
+        if self._spec_cfg is None:
+            raise ValueError(
+                "headerless artifact: export samplerate/seconds unknown, "
+                "cannot encode waveforms — pass the transport payload "
+                f"directly ({self.audio_shape}, {self.audio_dtype})")
+        return prepare_audio_payload(waves, self.audio_transport,
+                                     self._spec_cfg)
+
+    def _coerce_audio(self, waves: np.ndarray) -> np.ndarray:
+        """Accept either the artifact's wire payload as-is or float
+        waveforms (encoded host-side via `prepare_audio`)."""
+        waves = np.asarray(waves)
+        if waves.shape[1:] == self.audio_shape and waves.dtype == self.audio_dtype:
+            return np.ascontiguousarray(waves)
+        if (np.issubdtype(waves.dtype, np.floating) and waves.ndim == 2
+                and self.num_samples and waves.shape[1] == self.num_samples):
+            return self.prepare_audio(waves)
+        raise ValueError(
+            f"audio batch {waves.shape} {waves.dtype} matches neither the "
+            f"artifact's {self.audio_transport!r} payload "
+            f"({self.audio_shape}, {self.audio_dtype}) nor "
+            f"(n, {self.num_samples}) float waveforms")
+
     def run(self, frames: np.ndarray, waves: np.ndarray):
-        """(n, S, S, 3) uint8 + (n, num_samples) f32 -> (masks, heatmaps)
-        as numpy, any n >= 1 (padded to a bucket; chunked above max)."""
+        """(n, S, S, 3) uint8 frames + audio -> (masks, heatmaps) as numpy,
+        any n >= 1 (padded to a bucket; chunked above max).  Audio is
+        either (n, num_samples) float waveforms (encoded host-side to the
+        artifact's transport) or the transport payload itself."""
         frames = np.ascontiguousarray(frames, dtype=np.uint8)
-        waves = np.ascontiguousarray(waves, dtype=np.float32)
+        waves = self._coerce_audio(waves)
         n = frames.shape[0]
         if n == 0:
             raise ValueError("empty batch")
@@ -135,7 +178,7 @@ class ArtifactRunner:
             frames = np.concatenate(
                 [frames, np.zeros((b - n, *frames.shape[1:]), frames.dtype)])
             waves = np.concatenate(
-                [waves, np.zeros((b - n, waves.shape[1]), waves.dtype)])
+                [waves, np.zeros((b - n, *waves.shape[1:]), waves.dtype)])
         masks, heatmaps = self.fn(frames, waves)
         return np.asarray(masks)[:n], np.asarray(heatmaps)[:n]
 

@@ -148,6 +148,66 @@ def spec_int16_to_int8(spec16: np.ndarray) -> np.ndarray:
                    -128, 127).astype(np.int8)
 
 
+#: the audio transport family: how a waveform crosses the host->device (or
+#: client->server) boundary.  `log_spectrogram`'s static-shape/dtype
+#: dispatch decodes every one of them, so any consumer accepts any member.
+AUDIO_TRANSPORTS = ("float32", "int16", "spec_int16", "spec_int8")
+
+
+def audio_payload_spec(transport: str, cfg: SpectrogramConfig
+                       ) -> tuple[tuple[int, ...], np.dtype]:
+    """Per-sample (shape, dtype) of a transport's wire payload."""
+    if transport == "float32":
+        return (cfg.num_samples,), np.dtype(np.float32)
+    if transport == "int16":
+        return (cfg.num_samples,), np.dtype(np.int16)
+    if transport == "spec_int16":
+        return cfg.shape, np.dtype(np.int16)
+    if transport == "spec_int8":
+        return cfg.shape, np.dtype(np.int8)
+    raise ValueError(f"unknown audio transport {transport!r}; "
+                     f"expected one of {AUDIO_TRANSPORTS}")
+
+
+def prepare_audio_payload(waves: np.ndarray, transport: str,
+                          cfg: SpectrogramConfig) -> np.ndarray:
+    """Host-side encode of (n, num_samples) float waveforms into a
+    transport's wire payload (the batched counterpart of the training
+    pipeline's `_finalize_waveform`).  Uses the native C++ STFT when
+    available for the spec transports; `log_spectrogram`'s passthrough
+    branch is the device-side decoder for every output."""
+    waves = np.ascontiguousarray(np.asarray(waves), dtype=np.float32)
+    if waves.ndim != 2 or waves.shape[1] != cfg.num_samples:
+        raise ValueError(f"expected (n, {cfg.num_samples}) float waveforms, "
+                         f"got {waves.shape}")
+    if transport == "float32":
+        return waves
+    if transport == "int16":
+        return quantize_int16_waveform(waves)
+    if transport not in ("spec_int16", "spec_int8"):
+        raise ValueError(f"unknown audio transport {transport!r}; "
+                         f"expected one of {AUDIO_TRANSPORTS}")
+    rows = []
+    native_fn = None
+    try:
+        from avtubes import native
+
+        if native.available():
+            native_fn = native.log_spectrogram_i16
+    except ImportError:
+        pass
+    for w in waves:
+        out = None
+        if native_fn is not None:
+            out = native_fn(w, cfg.samplerate, cfg.nperseg, cfg.noverlap,
+                            cfg.num_freqs, cfg.num_frames)
+        if out is None:
+            out = quantize_int16_spectrogram(log_spectrogram_np_f32(w, cfg))
+        rows.append(out)
+    spec16 = np.stack(rows)
+    return spec_int16_to_int8(spec16) if transport == "spec_int8" else spec16
+
+
 def log_spectrogram_np_f32(x: np.ndarray,
                            cfg: SpectrogramConfig = SpectrogramConfig()) -> np.ndarray:
     """Fast float32 HOST log-spectrogram (~3.9 ms/clip/core vs ~9 ms for the

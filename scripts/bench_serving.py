@@ -35,7 +35,7 @@ from avtubes.core.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build_artifact() -> bytes:
+def build_artifact(audio_transport: str = "float32") -> bytes:
     from avtubes.core.config import ExperimentConfig
     from avtubes.core.export import export_localizer
     from avtubes.data.spectrogram import SpectrogramConfig
@@ -53,7 +53,8 @@ def build_artifact() -> bytes:
     backend = {"gpu": "cuda"}.get(jax.default_backend(), jax.default_backend())
     return export_localizer(state, spec_cfg, image_size=224,
                             platforms=(backend,),
-                            extra_meta={"s2d": True, "quant": None})
+                            extra_meta={"s2d": True, "quant": None},
+                            audio_transport=audio_transport)
 
 
 def serve(blob: bytes, max_batch: int, window_ms: float):
@@ -78,10 +79,15 @@ def main():
     p.add_argument("--concurrency", default="1,8,64")
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--payloads", type=int, default=8)
+    p.add_argument("--audio_transport", default="float32",
+                   choices=["float32", "int16", "spec_int16", "spec_int8"],
+                   help="the artifact's audio input encoding: what the "
+                        "handler threads ship to the device per request "
+                        "(requests themselves are always WAV/PCM)")
     args = p.parse_args()
     levels = [int(c) for c in args.concurrency.split(",")]
 
-    blob = build_artifact()
+    blob = build_artifact(args.audio_transport)
     rng = np.random.default_rng(0)
     payloads = [synth_payload(rng, 224, 22050, 10)
                 for _ in range(args.payloads)]
@@ -96,6 +102,7 @@ def main():
                         for i in range(args.requests)]
                 r = run_level(url, body, level, timeout_s=300.0)
                 r["mode"] = mode
+                r["audio_transport"] = args.audio_transport
                 r["server_stats"] = _get_json(url + "/stats")
                 results.append(r)
                 print(json.dumps(r), flush=True)

@@ -139,3 +139,41 @@ def test_validate_artifact_fixed_batch_chunking():
     assert report["n"] == 6
     assert report["ciou_delta"] == 0.0
     assert report["heatmap_max_abs_diff"] < 1e-4
+
+
+def test_export_audio_transport_artifacts():
+    """Transport exports change only the audio INPUT contract: 'int16'
+    reproduces the f32-waveform artifact bit-identically for waveforms on
+    the 16-bit grid; a spec-payload export skips the device STFT and
+    validates within its quantization cost (validate_artifact encodes the
+    eval waveforms into the artifact's own transport)."""
+    from avtubes.core.export import load_artifact, validate_artifact
+    from avtubes.data.spectrogram import prepare_audio_payload
+
+    state, spec_cfg = _tiny_state()
+    fn_ref = load_localizer(export_localizer(state, spec_cfg, image_size=IMG,
+                                             platforms=("cpu",)))
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, IMG, IMG, 3), np.uint8)
+    waves = (rng.integers(-32768, 32768, (2, spec_cfg.num_samples))
+             .astype(np.float32) / 32768.0)
+    _, heat_ref = fn_ref(frames, waves)
+
+    blob16 = export_localizer(state, spec_cfg, image_size=IMG,
+                              platforms=("cpu",), audio_transport="int16")
+    fn16, meta16 = load_artifact(blob16)
+    assert meta16["audio_transport"] == "int16"
+    payload = prepare_audio_payload(waves, "int16", spec_cfg)
+    assert payload.dtype == np.int16
+    _, heat16 = fn16(frames, payload)
+    np.testing.assert_allclose(np.asarray(heat16), np.asarray(heat_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    blob8 = export_localizer(state, spec_cfg, image_size=IMG,
+                             platforms=("cpu",), audio_transport="spec_int8")
+    _, meta8 = load_artifact(blob8)
+    assert meta8["audio_transport"] == "spec_int8"
+    assert tuple(meta8["audio_shape"]) == spec_cfg.shape
+    report = validate_artifact(state, blob8, spec_cfg, image_size=IMG, n=4)
+    assert report["mask_pairwise_iou_mean"] > 0.9
+    assert report["heatmap_corr"] > 0.99

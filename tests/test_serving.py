@@ -159,8 +159,7 @@ def test_microbatcher_drops_timed_out_requests():
 IMG, SR, SEC = 64, 2000, 1
 
 
-@pytest.fixture(scope="module")
-def artifact():
+def _export_test_artifact(audio_transport: str = "float32") -> bytes:
     import jax
     import jax.numpy as jnp
 
@@ -177,7 +176,13 @@ def artifact():
         (jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
         OptimConfig())
     return export_localizer(state, spec_cfg, image_size=IMG,
-                            platforms=("cpu",))
+                            platforms=("cpu",),
+                            audio_transport=audio_transport)
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    return _export_test_artifact()
 
 
 def test_artifact_meta_header(artifact):
@@ -205,6 +210,52 @@ def test_runner_buckets_and_padding(artifact):
     masks6, _ = runner.run(np.tile(frames, (2, 1, 1, 1)),
                            np.tile(waves, (2, 1)))
     assert masks6.shape[0] == 6
+
+
+def test_runner_transport_artifacts_match_f32(artifact):
+    """An artifact exported with an audio transport (int16 PCM / spec
+    payloads) must serve identically through `ArtifactRunner`: f32
+    waveforms are host-encoded transparently, pre-encoded payloads pass
+    through, and the results match the f32-waveform artifact
+    (bit-identically for 'int16' on 16-bit-grid sources; within the
+    transport's quantization for the spec payloads)."""
+    base = ArtifactRunner(artifact, max_batch=2)
+    assert base.audio_transport == "float32"
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, IMG, IMG, 3), np.uint8)
+    # int16-grid waveforms: 'int16' transport round trip is then exact
+    waves = (rng.integers(-32768, 32768, (2, SR * SEC))
+             .astype(np.float32) / 32768.0)
+    _, h_ref = base.run(frames, waves)
+    h_ref = np.asarray(h_ref, np.float64)
+
+    for transport, corr_min in [("int16", None), ("spec_int16", 0.999),
+                                ("spec_int8", 0.99)]:
+        runner = ArtifactRunner(_export_test_artifact(transport),
+                                max_batch=2)
+        assert runner.audio_transport == transport
+        m1, h1 = runner.run(frames, waves)            # f32 waveforms in
+        payload = runner.prepare_audio(waves)
+        assert payload.dtype == runner.audio_dtype
+        assert payload.shape[1:] == runner.audio_shape
+        m2, h2 = runner.run(frames, payload)          # wire payload in
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        if corr_min is None:
+            np.testing.assert_allclose(np.asarray(h1), h_ref,
+                                       rtol=1e-6, atol=1e-6)
+        else:
+            c = np.corrcoef(np.asarray(h1, np.float64).ravel(),
+                            h_ref.ravel())[0, 1]
+            assert c > corr_min, f"{transport}: heatmap corr {c}"
+        runner.warmup()  # transport-dtype zero payloads compile every bucket
+
+
+def test_runner_rejects_mismatched_audio(artifact):
+    runner = ArtifactRunner(_export_test_artifact("spec_int16"), max_batch=2)
+    with pytest.raises(ValueError, match="matches neither"):
+        runner.run(np.zeros((1, IMG, IMG, 3), np.uint8),
+                   np.zeros((1, 7), np.float32))
 
 
 def _jpeg_b64(rng) -> str:
@@ -363,6 +414,36 @@ def test_http_health_and_stats(server):
         stats = json.loads(r.read())
     assert stats["requests"] >= 3
     assert stats["batches"] >= 1
+
+
+def test_http_serves_transport_artifact():
+    """The HTTP contract is transport-invariant: a spec_int8 artifact
+    serves the same WAV request (the handler encodes the payload
+    host-side) and reports its transport in /healthz."""
+    from avtubes.cli.serve import build_handler
+
+    runner = ArtifactRunner(_export_test_artifact("spec_int8"), max_batch=2)
+    batcher = MicroBatcher(runner, window_ms=1.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), build_handler(batcher, runner.meta, 120.0))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        rng = np.random.default_rng(5)
+        code, resp = _post(url, {"image": _jpeg_b64(rng),
+                                 "audio": _wav_b64(rng, SR, SR * SEC)})
+        assert code == 200, resp
+        heat = np.asarray(resp["heatmap"])
+        assert heat.shape == (IMG // 16, IMG // 16)
+        assert np.isfinite(heat).all()
+        with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["model"]["audio_transport"] == "spec_int8"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
 
 
 def test_sharded_runner_matches_single_device(artifact):
