@@ -150,10 +150,36 @@ def host_load_eval_frame(path, image_size: int = 224) -> np.ndarray:
     return host_center_crop(np.asarray(img), image_size)
 
 
-def eval_frame_from_bytes(data: bytes, image_size: int = 224) -> np.ndarray:
+def eval_frame_from_bytes(data: bytes, image_size: int = 224,
+                          fast: bool = False) -> np.ndarray:
     """`host_load_eval_frame` over an in-memory encoded image (serving
     requests arrive as bytes, not files): decode -> shortest-side bicubic
-    resize -> center crop.  uint8 (size, size, 3)."""
+    resize -> center crop.  uint8 (size, size, 3).
+
+    Default: PIL decode + the parity-grade resize/crop.  Measured on this
+    host, the native full-res in-memory path is NOT faster single-threaded
+    (4.8 vs 4.3 ms on a 480x640 photo-like JPEG — Pillow's resize is well
+    optimized), so unlike the batched file loaders there is no default
+    native win to take.
+
+    fast=True: native fused decode with libjpeg DCT-domain M/8 scaling
+    (`decode_jpeg_shortest_bytes(scaled=True)`) — 2.3 vs 4.3 ms on the same
+    JPEG, ~2-level pixel drift vs the full-res decode (the PIL Image.draft
+    tradeoff).  Serving exposes this as `--fast_decode`; metric cost is
+    measured in DESIGN.md.  Non-JPEG payloads (PNG etc.) and native-lib
+    absence fall back to the default path."""
+    if fast:
+        try:
+            from avtubes import native
+
+            if native.available():
+                out = native.decode_jpeg_shortest_bytes(data, image_size,
+                                                        crop=image_size,
+                                                        scaled=True)
+                if out is not None:
+                    return out
+        except ImportError:
+            pass
     from io import BytesIO
 
     from PIL import Image

@@ -116,6 +116,13 @@ def _bind(lib) -> None:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int]
+    lib.avt_decode_jpeg_shortest_mem.restype = ctypes.c_int
+    lib.avt_decode_jpeg_shortest_mem.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,  # c_char_p: zero-copy bytes pass
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
     lib.avt_decode_jpeg_shortest_batch.restype = None
     lib.avt_decode_jpeg_shortest_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -322,6 +329,36 @@ def decode_jpeg_shortest(path: str | Path, short_side: int,
     ow = ctypes.c_int()
     if not lib.avt_decode_jpeg_shortest(
             str(path).encode(), short_side, crop,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(oh), ctypes.byref(ow), int(scaled)):
+        return None
+    return out
+
+
+def decode_jpeg_shortest_bytes(data: bytes, short_side: int, crop: int,
+                               scaled: bool = False) -> np.ndarray | None:
+    """`decode_jpeg_shortest` over an IN-MEMORY JPEG (serving requests are
+    bytes, not files) -> (crop, crop, 3) uint8, or None on failure / non-JPEG
+    payload / native lib unavailable — callers fall back to the PIL path,
+    which computes the identical transform (and handles PNG etc.).
+
+    crop > 0 is required: the serving path always center-crops to the model's
+    input size, so the variable-size output plumbing isn't needed here.
+    scaled defaults to False (full-res decode, bit-comparable to PIL) —
+    serving outputs are parity-grade like eval, not the training fast path.
+    """
+    if crop <= 0:
+        raise ValueError("decode_jpeg_shortest_bytes requires crop > 0")
+    if len(data) < 3 or data[:3] != b"\xff\xd8\xff":  # not a JPEG (e.g. PNG)
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((crop, crop, 3), np.uint8)
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    if not lib.avt_decode_jpeg_shortest_mem(
+            data, len(data), short_side, crop,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.byref(oh), ctypes.byref(ow), int(scaled)):
         return None

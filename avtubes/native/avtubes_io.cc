@@ -457,22 +457,33 @@ void resize_cubic_hwc(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
 // PIL Image.draft trick): the smallest M/8 whose short side still covers the
 // target, so the IDCT itself does most of the downscale and the cubic pass
 // only cleans up the remainder.  0 = full-resolution decode.
+// Source: path != nullptr reads the file; otherwise (mem, mem_len) is an
+// in-memory JPEG (serving requests arrive as bytes, not files).
 bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
                     int min_short_side = 0, int* orig_h = nullptr,
-                    int* orig_w = nullptr) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
+                    int* orig_w = nullptr, const uint8_t* mem = nullptr,
+                    size_t mem_len = 0) {
+  FILE* f = nullptr;
+  if (path) {
+    f = fopen(path, "rb");
+    if (!f) return false;
+  } else if (!mem || mem_len == 0) {
+    return false;
+  }
   jpeg_decompress_struct cinfo;
   JpegErr err;
   cinfo.err = jpeg_std_error(&err.mgr);
   err.mgr.error_exit = jpeg_err_exit;
   if (setjmp(err.jb)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
+    if (f) fclose(f);
     return false;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  if (f)
+    jpeg_stdio_src(&cinfo, f);
+  else
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(mem), mem_len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   // untrusted SOF dims: a crafted 65500x65500 header claims ~12.8 GB of
@@ -483,7 +494,7 @@ bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
   if (static_cast<size_t>(cinfo.image_height) * cinfo.image_width >
       100'000'000ull) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
+    if (f) fclose(f);
     return false;
   }
   if (orig_h) *orig_h = cinfo.image_height;
@@ -498,7 +509,7 @@ bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
   jpeg_start_decompress(&cinfo);
   if (cinfo.output_components != 3) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
+    if (f) fclose(f);
     return false;
   }
   *h = cinfo.output_height;
@@ -510,7 +521,7 @@ bool decode_jpeg_to(const char* path, std::vector<uint8_t>* buf, int* h, int* w,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
+  if (f) fclose(f);
   return true;
 }
 
@@ -698,10 +709,13 @@ int avt_decode_jpeg(const char* path, uint8_t* out, int out_h, int out_w) {
 // resolution first — bit-comparable to the PIL fallback.
 static int decode_jpeg_shortest_impl(const char* path, int short_side,
                                      int crop, uint8_t* out, int* out_h,
-                                     int* out_w, int scaled) {
+                                     int* out_w, int scaled,
+                                     const uint8_t* mem = nullptr,
+                                     size_t mem_len = 0) {
   std::vector<uint8_t> full;
   int h = 0, w = 0, oh = 0, ow = 0;
-  if (!decode_jpeg_to(path, &full, &h, &w, scaled ? short_side : 0, &oh, &ow))
+  if (!decode_jpeg_to(path, &full, &h, &w, scaled ? short_side : 0, &oh, &ow,
+                      mem, mem_len))
     return 0;
   // target dims from the ORIGINAL geometry (the Python wrapper sizes the
   // crop==0 output buffer from jpeg_size, which reports original dims)
@@ -740,6 +754,23 @@ int avt_decode_jpeg_shortest(const char* path, int short_side, int crop,
   try {
     return decode_jpeg_shortest_impl(path, short_side, crop, out, out_h,
                                      out_w, scaled);
+  } catch (...) {  // per-item failure must not cross the ctypes boundary
+    return 0;
+  }
+}
+
+// Same fused decode + shortest-side bicubic + center crop over an IN-MEMORY
+// JPEG (serving requests arrive as bytes; the PIL path's decode+resize is
+// the dominant per-request host cost on a saturated core).  Identical
+// transform to avt_decode_jpeg_shortest — jpeg_mem_src instead of stdio.
+int avt_decode_jpeg_shortest_mem(const uint8_t* data, int64_t len,
+                                 int short_side, int crop, uint8_t* out,
+                                 int* out_h, int* out_w, int scaled) {
+  if (!data || len <= 0) return 0;
+  try {
+    return decode_jpeg_shortest_impl(nullptr, short_side, crop, out, out_h,
+                                     out_w, scaled, data,
+                                     static_cast<size_t>(len));
   } catch (...) {  // per-item failure must not cross the ctypes boundary
     return 0;
   }

@@ -27,12 +27,18 @@ import numpy as np
 
 
 def synth_payload(rng: np.random.Generator, image_size: int,
-                  samplerate: int, seconds: int) -> bytes:
-    """One localize request body: random JPEG + random 16-bit WAV."""
+                  samplerate: int, seconds: int,
+                  source_hw: tuple[int, int] | None = None) -> bytes:
+    """One localize request body: random JPEG + random 16-bit WAV.
+
+    source_hw sets the ENCODED image geometry (default: image_size square —
+    a pre-cropped request).  Real clients usually send camera-geometry
+    frames (e.g. 480x640) that the server resizes/crops, so decode-path
+    comparisons (--fast_decode) should pass a larger source."""
     from PIL import Image
 
-    img = Image.fromarray(
-        rng.integers(0, 255, (image_size, image_size, 3), np.uint8), "RGB")
+    h, w = source_hw or (image_size, image_size)
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8), "RGB")
     buf = io.BytesIO()
     img.save(buf, format="JPEG", quality=90)
     n = samplerate * seconds

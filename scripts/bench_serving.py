@@ -57,14 +57,16 @@ def build_artifact(audio_transport: str = "float32") -> bytes:
                             audio_transport=audio_transport)
 
 
-def serve(blob: bytes, max_batch: int, window_ms: float):
+def serve(blob: bytes, max_batch: int, window_ms: float,
+          fast_decode: bool = False):
     from avtubes.cli.serve import LocalizerHTTPServer, build_handler
     from avtubes.core.serving import ArtifactRunner, MicroBatcher
 
     runner = ArtifactRunner(blob, max_batch=max_batch)
     runner.warmup()
     batcher = MicroBatcher(runner, window_ms=window_ms)
-    handler = build_handler(batcher, runner.meta, 300.0)
+    handler = build_handler(batcher, runner.meta, 300.0,
+                            fast_decode=fast_decode)
     handler.log_message = lambda *a, **k: None  # keep stdout to result lines
     httpd = LocalizerHTTPServer(("127.0.0.1", 0), handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -84,18 +86,29 @@ def main():
                    help="the artifact's audio input encoding: what the "
                         "handler threads ship to the device per request "
                         "(requests themselves are always WAV/PCM)")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="serve with the native DCT-scaled JPEG request "
+                        "decode (cli/serve.py --fast_decode)")
+    p.add_argument("--source_size", default=None,
+                   help="HxW of the encoded request images (default: "
+                        "224x224 pre-cropped; pass e.g. 480x640 for "
+                        "camera-geometry requests where the server's "
+                        "resize path actually runs)")
     args = p.parse_args()
     levels = [int(c) for c in args.concurrency.split(",")]
 
     blob = build_artifact(args.audio_transport)
     rng = np.random.default_rng(0)
-    payloads = [synth_payload(rng, 224, 22050, 10)
+    source_hw = (tuple(int(v) for v in args.source_size.split("x"))
+                 if args.source_size else None)
+    payloads = [synth_payload(rng, 224, 22050, 10, source_hw=source_hw)
                 for _ in range(args.payloads)]
 
     results = []
     for mode, max_batch, window in (("microbatch", 64, 5.0),
                                     ("no_batching", 1, 0.0)):
-        httpd, batcher, url = serve(blob, max_batch, window)
+        httpd, batcher, url = serve(blob, max_batch, window,
+                                    fast_decode=args.fast_decode)
         try:
             for level in levels:
                 body = [payloads[i % len(payloads)]
@@ -103,6 +116,8 @@ def main():
                 r = run_level(url, body, level, timeout_s=300.0)
                 r["mode"] = mode
                 r["audio_transport"] = args.audio_transport
+                r["fast_decode"] = args.fast_decode
+                r["source_size"] = args.source_size or "224x224"
                 r["server_stats"] = _get_json(url + "/stats")
                 results.append(r)
                 print(json.dumps(r), flush=True)

@@ -132,6 +132,74 @@ def test_jpeg_shortest_scaled_close_on_natural_image(tmp_path):
     assert np.abs(precise.astype(int) - fast.astype(int)).mean() < 4.0
 
 
+def test_jpeg_shortest_bytes_matches_file_path(tmp_path):
+    # the in-memory entry (serving requests are bytes) must produce the
+    # exact same pixels as the file entry: same decode, same resize, same
+    # crop — only the libjpeg source differs (jpeg_mem_src vs stdio)
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    for shape in ((480, 640), (257, 198), (900, 300)):
+        img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        p = tmp_path / f"{shape[0]}x{shape[1]}.jpg"
+        Image.fromarray(img).save(p, quality=92)
+        data = p.read_bytes()
+        for scaled in (False, True):
+            from_file = native.decode_jpeg_shortest(p, 224, crop=224,
+                                                    scaled=scaled)
+            from_mem = native.decode_jpeg_shortest_bytes(data, 224, crop=224,
+                                                         scaled=scaled)
+            assert np.array_equal(from_file, from_mem)
+
+
+def test_jpeg_shortest_bytes_rejects_non_jpeg(tmp_path):
+    from io import BytesIO
+
+    from PIL import Image
+
+    # PNG payload (valid image, wrong codec): None — caller falls back
+    buf = BytesIO()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(buf, "PNG")
+    assert native.decode_jpeg_shortest_bytes(buf.getvalue(), 224,
+                                             crop=224) is None
+    # truncated/garbage JPEG magic: None, no crash across the FFI boundary
+    assert native.decode_jpeg_shortest_bytes(b"\xff\xd8\xffgarbage", 224,
+                                             crop=224) is None
+    assert native.decode_jpeg_shortest_bytes(b"", 224, crop=224) is None
+    with pytest.raises(ValueError):
+        native.decode_jpeg_shortest_bytes(b"\xff\xd8\xff", 224, crop=0)
+
+
+def test_eval_frame_from_bytes_fast_path(tmp_path):
+    # fast=True routes through the native DCT-scaled decode; fast=False is
+    # the PIL-exact default.  Both must agree closely on a smooth image,
+    # and a PNG payload must work under fast=True via the fallback.
+    from io import BytesIO
+
+    from PIL import Image
+
+    from avtubes.data.transforms import eval_frame_from_bytes
+
+    yy, xx = np.mgrid[0:512, 0:768]
+    img = np.stack([(yy // 2) % 256, (xx // 3) % 256,
+                    ((yy + xx) // 4) % 256], -1).astype(np.uint8)
+    buf = BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    data = buf.getvalue()
+    exact = eval_frame_from_bytes(data, 224)
+    fast = eval_frame_from_bytes(data, 224, fast=True)
+    assert exact.shape == fast.shape == (224, 224, 3)
+    assert np.abs(exact.astype(int) - fast.astype(int)).mean() < 4.0
+    assert np.array_equal(
+        fast, native.decode_jpeg_shortest_bytes(data, 224, crop=224,
+                                                scaled=True))
+    png = BytesIO()
+    Image.fromarray(img).save(png, "PNG")
+    assert np.array_equal(eval_frame_from_bytes(png.getvalue(), 224,
+                                                fast=True),
+                          eval_frame_from_bytes(png.getvalue(), 224))
+
+
 def test_jpeg_shortest_rounding_tie(tmp_path):
     # 641x448 -> long side 641*224/448 = 320.5 exactly: Python round() and
     # the C++ dim math must both round half-to-even (320), or the C++ side

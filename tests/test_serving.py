@@ -446,6 +446,40 @@ def test_http_serves_transport_artifact():
         batcher.close()
 
 
+def test_http_fast_decode(artifact):
+    """--fast_decode wiring: the server decodes request JPEGs with the
+    native DCT-scaled path; the response contract is unchanged and the
+    heatmap closely tracks the exact-decode server on the same payload
+    (decode-level parity itself is pinned in tests/test_native.py)."""
+    from avtubes.cli.serve import build_handler
+
+    rng = np.random.default_rng(6)
+    payload = {"image": _jpeg_b64(rng), "audio": _wav_b64(rng, SR, SR * SEC)}
+    heats = {}
+    for fast in (False, True):
+        runner = ArtifactRunner(artifact, max_batch=2)
+        batcher = MicroBatcher(runner, window_ms=1.0)
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), build_handler(batcher, runner.meta, 120.0,
+                                            fast_decode=fast))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            code, resp = _post(url, payload)
+            assert code == 200, resp
+            heat = np.asarray(resp["heatmap"])
+            assert heat.shape == (IMG // 16, IMG // 16)
+            assert np.isfinite(heat).all()
+            heats[fast] = heat
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            batcher.close()
+    # random-noise source + tiny random-init model: exact agreement is not
+    # guaranteed, but the decodes differ by ~2 levels so heatmaps must track
+    assert np.abs(heats[True] - heats[False]).max() < 0.15
+
+
 def test_sharded_runner_matches_single_device(artifact):
     """ShardedArtifactRunner over the 8-device CPU mesh: bucket sizes are
     multiples of the mesh, and outputs equal the single-device runner at
