@@ -120,3 +120,27 @@ def test_fuzz_jpeg_all_paths(jpg_corpus):
     out, ok = native.decode_jpeg_shortest_batch(paths, 96, 64, threads=4)
     assert ok.shape == (len(paths),)
     native.decode_clip_train(paths[:16], 96, 64, 0, 0, threads=4)
+
+
+def test_fuzz_jpeg_mem_path(jpg_corpus):
+    """The in-memory entry consumes UNTRUSTED serving-request bytes when
+    --fast_decode is on: every corruption must surface as None (or decode
+    cleanly), never crash across the FFI boundary.  Mutants that keep the
+    JPEG magic exercise the native decoder; the rest pin the magic gate."""
+    _, base = jpg_corpus
+    rng = np.random.RandomState(45)
+    decoded = failed = gated = 0
+    for mut in _mutants(base, rng, N_MUTANTS):
+        for scaled in (False, True):
+            out = native.decode_jpeg_shortest_bytes(mut, 96, crop=64,
+                                                    scaled=scaled)
+            if out is None:
+                if mut[:3] != b"\xff\xd8\xff":
+                    gated += 1
+                else:
+                    failed += 1
+            else:
+                assert out.shape == (64, 64, 3)
+                decoded += 1
+    assert decoded + failed + gated == 2 * N_MUTANTS
+    assert decoded > 0  # some mutants survive (trailing-garbage ones)
