@@ -114,6 +114,10 @@ def main(argv=None):
                    help="distinct synthetic payloads to cycle through")
     p.add_argument("--timeout_s", default=300.0, type=float)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--source_size", default=None,
+                   help="HxW of the encoded request images (default: the "
+                        "server's image_size, square — pre-cropped; pass "
+                        "e.g. 480x640 to exercise the server's resize path)")
     a = p.parse_args(argv)
 
     health = _get_json(a.url + "/healthz")
@@ -123,8 +127,11 @@ def main(argv=None):
     print(json.dumps({"server": meta}))
 
     rng = np.random.default_rng(a.seed)
+    source_hw = (tuple(int(v) for v in a.source_size.split("x"))
+                 if a.source_size else None)
     distinct = [synth_payload(rng, int(meta["image_size"]), samplerate,
-                              seconds) for _ in range(a.payloads)]
+                              seconds, source_hw=source_hw)
+                for _ in range(a.payloads)]
     for level in [int(c) for c in a.concurrency.split(",")]:
         payloads = [distinct[i % len(distinct)] for i in range(a.requests)]
         result = run_level(a.url, payloads, level, a.timeout_s)

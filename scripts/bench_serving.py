@@ -35,7 +35,10 @@ from avtubes.core.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build_artifact(audio_transport: str = "float32") -> bytes:
+def build_artifact(audio_transport: str = "float32",
+                   quant: bool = False) -> bytes:
+    import dataclasses
+
     from avtubes.core.config import ExperimentConfig
     from avtubes.core.export import export_localizer
     from avtubes.data.spectrogram import SpectrogramConfig
@@ -50,10 +53,14 @@ def build_artifact(audio_transport: str = "float32") -> bytes:
         model, jax.random.PRNGKey(0),
         (jnp.zeros((2, 224, 224, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
         cfg.optim)
+    if quant:  # int8 inference convs, same parameter tree (export_model
+        state = state.replace(  # --quant int8 wiring)
+            apply_fn=dataclasses.replace(model, quant_int8=True).apply)
     backend = {"gpu": "cuda"}.get(jax.default_backend(), jax.default_backend())
     return export_localizer(state, spec_cfg, image_size=224,
                             platforms=(backend,),
-                            extra_meta={"s2d": True, "quant": None},
+                            extra_meta={"s2d": True,
+                                        "quant": "int8" if quant else None},
                             audio_transport=audio_transport)
 
 
@@ -89,6 +96,9 @@ def main():
     p.add_argument("--fast_decode", action="store_true",
                    help="serve with the native DCT-scaled JPEG request "
                         "decode (cli/serve.py --fast_decode)")
+    p.add_argument("--quant", action="store_true",
+                   help="export the artifact with int8 inference convs "
+                        "(export_model --quant int8)")
     p.add_argument("--source_size", default=None,
                    help="HxW of the encoded request images (default: "
                         "224x224 pre-cropped; pass e.g. 480x640 for "
@@ -97,7 +107,7 @@ def main():
     args = p.parse_args()
     levels = [int(c) for c in args.concurrency.split(",")]
 
-    blob = build_artifact(args.audio_transport)
+    blob = build_artifact(args.audio_transport, quant=args.quant)
     rng = np.random.default_rng(0)
     source_hw = (tuple(int(v) for v in args.source_size.split("x"))
                  if args.source_size else None)
@@ -117,6 +127,7 @@ def main():
                 r["mode"] = mode
                 r["audio_transport"] = args.audio_transport
                 r["fast_decode"] = args.fast_decode
+                r["quant"] = args.quant
                 r["source_size"] = args.source_size or "224x224"
                 r["server_stats"] = _get_json(url + "/stats")
                 results.append(r)
