@@ -358,10 +358,16 @@ def bench_train_step(rtt: float) -> tuple[float, float, dict]:
     float(m["loss"])
     state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)  # warm
     float(m["loss"])
-    t0 = time.perf_counter()
-    state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)
-    float(m["loss"])
-    step_ms = ((time.perf_counter() - t0) - rtt) / g * 1000.0
+    # best-of-3: a single grouped dispatch is one wall sample through the
+    # tunnel, so its RTT jitter (several ms) lands unsmoothed on step_ms —
+    # the same reason every other leg of this bench is best-of-N
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)
+        float(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    step_ms = (best - rtt) / g * 1000.0
     # HBM audit: device bytes with the recipe-batch training state resident
     # (params/opt-state donated per step — double-buffering regressions show
     # up here as a jump).  The axon backend doesn't implement memory_stats,
