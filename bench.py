@@ -163,15 +163,49 @@ def build_int8_pipeline():
     return timed
 
 
-def bench_device_pipeline(timed, frames, waves, rtt: float) -> float:
-    float(timed(frames, waves))  # compile
-    reps = 3
-    t0 = time.perf_counter()
+def _rep_stats(run, reps: int) -> tuple[list[float], list[float]]:
+    """Time `run()` reps times.  Per rep, also sample the machine-wide busy
+    CPU NOT attributable to this process, per wall second (the co-tenant
+    indicator, ~0 = clean) — so best-of-N legs carry the evidence needed to
+    tell a regression from a noisy neighbor.  Returns (walls, cotenants)."""
+    hz = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
+    walls, cotenants = [], []
     for _ in range(reps):
-        float(timed(frames, waves))
+        stat0 = _proc_stat_ticks()
+        cpu0 = time.process_time()
+        t0 = time.perf_counter()
+        run()
+        wall = time.perf_counter() - t0
+        walls.append(wall)
+        if stat0 is not None and wall > 0:
+            total1, idle1 = _proc_stat_ticks()
+            busy_s = ((total1 - stat0[0]) - (idle1 - stat0[1])) / hz
+            cotenants.append(
+                max(0.0, busy_s - (time.process_time() - cpu0)) / wall)
+        else:
+            cotenants.append(float("nan"))
+    return walls, cotenants
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def bench_device_pipeline(timed, frames, waves, rtt: float,
+                          reps: int = 5) -> tuple[float, float, float]:
+    """Returns (best clips/s, median clips/s, co-tenant fraction at best).
+
+    Best-of-N is the capacity number (RTT jitter through the tunnel only ever
+    ADDS time); the median and the co-tenant sample are the dispersion
+    evidence a reader needs to adjudicate regression-vs-interference."""
+    float(timed(frames, waves))  # compile
+    walls, cotenants = _rep_stats(lambda: float(timed(frames, waves)), reps)
     # the measured null-program RTT already covers dispatch + scalar readback
-    per_call = (time.perf_counter() - t0) / reps - rtt
-    return BATCH * SCAN_STEPS / per_call
+    cps = [BATCH * SCAN_STEPS / (w - rtt) for w in walls]
+    i_best = max(range(len(cps)), key=lambda i: cps[i])
+    return cps[i_best], _median(cps), cotenants[i_best]
 
 
 def measure_h2d_mbps() -> tuple[float, float]:
@@ -320,7 +354,7 @@ def bench_end_to_end(masks_once, n_clips: int = 192,
     return e2e, host, mb_per_clip, cotenant
 
 
-def bench_train_step(rtt: float) -> tuple[float, float, dict]:
+def bench_train_step(rtt: float) -> tuple[float, float, float, float, dict]:
     """Recipe-batch training step (train_hardway.py recipe: bs=20, T=16,
     two views, 4-term objective, fwd+bwd+Adam), measured the way the trainer
     runs it: G steps scan-grouped into ONE program (`hardway_multi_step`),
@@ -358,16 +392,21 @@ def bench_train_step(rtt: float) -> tuple[float, float, dict]:
     float(m["loss"])
     state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)  # warm
     float(m["loss"])
-    # best-of-3: a single grouped dispatch is one wall sample through the
+    # best-of-N: a single grouped dispatch is one wall sample through the
     # tunnel, so its RTT jitter (several ms) lands unsmoothed on step_ms —
-    # the same reason every other leg of this bench is best-of-N
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state, m = hardway_multi_step(state, clips, waves, keys, spec_cfg)
-        float(m["loss"])
-        best = min(best, time.perf_counter() - t0)
-    step_ms = (best - rtt) / g * 1000.0
+    # the same reason every other leg of this bench is best-of-N.  The
+    # median + per-rep co-tenant sample are the dispersion record.
+    holder = {"st": state}
+
+    def run():
+        holder["st"], mm = hardway_multi_step(holder["st"], clips, waves,
+                                              keys, spec_cfg)
+        float(mm["loss"])
+
+    walls, cotenants = _rep_stats(run, 5)
+    i_best = min(range(len(walls)), key=lambda i: walls[i])
+    step_ms = (walls[i_best] - rtt) / g * 1000.0
+    step_ms_median = (_median(walls) - rtt) / g * 1000.0
     # HBM audit: device bytes with the recipe-batch training state resident
     # (params/opt-state donated per step — double-buffering regressions show
     # up here as a jump).  The axon backend doesn't implement memory_stats,
@@ -380,7 +419,161 @@ def bench_train_step(rtt: float) -> tuple[float, float, dict]:
     hbm = {"hbm_live_gb": round(live / 2**30, 3)}
     if peak:
         hbm["hbm_peak_gb"] = round(peak / 2**30, 3)
-    return step_ms, step_flops, hbm
+    return step_ms, step_ms_median, cotenants[i_best], step_flops, hbm
+
+
+def bench_train3d(rtt: float) -> dict:
+    """3D tube recipe step (`/root/reference/train_3D.py:52-68` recipe:
+    bs=20 x 16-frame 224x224 clips, hard-way CE over (b·t), fwd+bwd+Adam) as
+    ONE fused program (`train3d_fused_step`), plus the per-frame eval
+    forward (`eval3d_heatmap_step`) at the same shape.
+
+    The T-preserving ResNet3D is the heaviest model in the capability set;
+    its activation footprint at the recipe batch can exceed HBM without
+    remat, so the leg first tries the default (no remat) and falls back to
+    the remat model on an OOM, recording which one ran."""
+    from avtubes.core.config import OptimConfig
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import FullModel
+    from avtubes.train.state import create_train_state
+    from avtubes.train.steps import eval3d_heatmap_step, train3d_fused_step
+
+    spec_cfg = SpectrogramConfig()
+    b, t = 20, 16
+    rng = np.random.RandomState(0)
+    clips = jax.device_put(
+        rng.randint(0, 256, (b, t, 224, 224, 3), dtype=np.uint8))
+    waves = jax.device_put(
+        np.clip(rng.randn(b, spec_cfg.num_samples) * 0.1, -1, 1)
+        .astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    def build(remat: bool):
+        model = FullModel(dtype=jnp.bfloat16, remat=remat)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            (jnp.zeros((2, *spec_cfg.shape, 1)),
+             jnp.zeros((1, 2, 64, 64, 3))),
+            OptimConfig(), 1)
+        flops = compiled_flops(train3d_fused_step, state, clips, waves, key,
+                               spec_cfg=spec_cfg)
+        st, m = train3d_fused_step(state, clips, waves, key, spec_cfg)
+        float(m["loss"])  # compile + run once (OOM surfaces here)
+        return st, flops
+
+    remat = False
+    try:
+        state, step_flops = build(False)
+    except Exception as e:
+        print(f"bench: train3d no-remat failed ({type(e).__name__}); "
+              f"retrying with remat", file=__import__("sys").stderr)
+        remat = True
+        state, step_flops = build(True)
+
+    holder = {"st": state}
+
+    def run():
+        holder["st"], m = train3d_fused_step(holder["st"], clips, waves, key,
+                                             spec_cfg)
+        float(m["loss"])
+
+    run()  # warm
+    walls, cotenants = _rep_stats(run, 5)
+    i_best = min(range(len(walls)), key=lambda i: walls[i])
+    step_ms = (walls[i_best] - rtt) * 1000.0
+    out = {
+        "train3d_step_ms": round(step_ms, 1),
+        "train3d_step_ms_median": round((_median(walls) - rtt) * 1000.0, 1),
+        "train3d_cotenant_busy_fraction": round(cotenants[i_best], 3),
+        "train3d_tflops_per_step": round(step_flops / 1e12, 2),
+        "train3d_remat": remat,
+        "train3d_clips_per_sec": round(b / (step_ms / 1e3), 1),
+    }
+    peak = device_peak_flops()
+    if peak:
+        out["mfu_train3d"] = round(step_flops / (step_ms / 1e3) / peak, 3)
+
+    # per-frame eval forward at the same clip shape (the reference's
+    # whole-video batched-clip eval, train_3D.py:152-154), scan-amortized
+    state3 = holder["st"]
+    spec = jnp.zeros((b, *spec_cfg.shape, 1), jnp.float32)
+    video = jax.device_put(
+        (rng.rand(b, t, 224, 224, 3) * 2 - 1).astype(np.float32))
+
+    @jax.jit
+    def timed_eval(video, spec):
+        def body(acc, i):
+            h = eval3d_heatmap_step(state3, video + i * 1e-6, spec)
+            return acc + h[0, 0, 0, 0], None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(3, dtype=jnp.float32))
+        return acc
+
+    float(timed_eval(video, spec))  # compile
+    walls, _ = _rep_stats(lambda: float(timed_eval(video, spec)), 3)
+    eval_s = (min(walls) - rtt) / 3
+    out["eval3d_clips_per_sec"] = round(b / eval_s, 1)
+    return out
+
+
+def bench_train_1frame(rtt: float) -> dict:
+    """1-frame trainer step at the reference recipe
+    (`/root/reference/train_hardway_1frame.py:54`: bs=3, middle frame,
+    plain hard-way CE).  bs=3 device time is tiny vs the tunnel RTT, so G
+    steps scan into one program and the dispatch cost amortizes — the same
+    methodology as the flagship leg."""
+    import functools
+
+    from avtubes.core.config import OptimConfig
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import AVENet
+    from avtubes.train.state import create_train_state
+    from avtubes.train.steps import hardway_1frame_fused_step
+
+    spec_cfg = SpectrogramConfig()
+    bs, g = 3, 20
+    model = AVENet(dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (jnp.zeros((2, 224, 224, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+        OptimConfig(), 1)
+    rng = np.random.RandomState(0)
+    frames = jax.device_put(
+        rng.randint(0, 256, (g, bs, 224, 224, 3), dtype=np.uint8))
+    waves = jax.device_put(
+        np.clip(rng.randn(g, bs, spec_cfg.num_samples) * 0.1, -1, 1)
+        .astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(1), g)
+
+    step_flops = compiled_flops(hardway_1frame_fused_step, state, frames[0],
+                                waves[0], keys[0], spec_cfg=spec_cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, frames, waves, keys):
+        def body(st, inp):
+            f, w, k = inp
+            st, m = hardway_1frame_fused_step(st, f, w, k, spec_cfg)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, (frames, waves, keys))
+
+    state, losses = multi(state, frames, waves, keys)  # compile
+    float(losses[-1])
+    holder = {"st": state}
+
+    def run():
+        holder["st"], ls = multi(holder["st"], frames, waves, keys)
+        float(ls[-1])
+
+    run()  # warm
+    walls, _ = _rep_stats(run, 5)
+    step_ms = (min(walls) - rtt) / g * 1000.0
+    out = {
+        "train1f_step_ms": round(step_ms, 2),
+        "train1f_gflops_per_step": round(step_flops / 1e9, 1),
+    }
+    peak = device_peak_flops()
+    if peak:
+        out["mfu_train1f"] = round(step_flops / (step_ms / 1e3) / peak, 3)
+    return out
 
 
 def wait_for_backend(budget_s: float = 900.0, probe_timeout_s: float = 90.0):
@@ -424,11 +617,13 @@ def main():
     rtt = measure_rtt()
     h2d, h2d_cpu_fraction, h2d_machine_fraction = measure_h2d_mbps()
     timed, timed_spec, masks_once, frames, waves, specs = build_pipeline()
-    device_cps = bench_device_pipeline(timed, frames, waves, rtt)
-    device_spec_cps = bench_device_pipeline(timed_spec, frames, specs, rtt)
+    device_cps, device_cps_median, device_cotenant = bench_device_pipeline(
+        timed, frames, waves, rtt)
+    device_spec_cps, _, _ = bench_device_pipeline(timed_spec, frames, specs, rtt)
     int8_cps = None
     try:
-        int8_cps = bench_device_pipeline(build_int8_pipeline(), frames, waves, rtt)
+        int8_cps, _, _ = bench_device_pipeline(
+            build_int8_pipeline(), frames, waves, rtt)
     except Exception as e:  # int8 conv lowering is backend-dependent
         print(f"bench: int8 pipeline skipped: {e!r}", file=__import__("sys").stderr)
     # MFU: analytical FLOPs (XLA cost analysis of the compiled inference
@@ -459,12 +654,18 @@ def main():
     serial_cpu_per_clip = (1.0 / host_cps
                            + h2d_cpu_fraction * transfer_wall_per_clip)
     serial_bound_cps = 1.0 / serial_cpu_per_clip
-    train_ms, train_flops, hbm = bench_train_step(rtt)
+    train_ms, train_ms_median, train_cotenant, train_flops, hbm = \
+        bench_train_step(rtt)
     out = {
         "metric": "clips/sec/chip (spectrogram+encode+heatmap, bf16, B=128)",
         "value": round(device_cps, 1),
         "unit": "clips/s",
         "vs_baseline": round(device_cps / NORTH_STAR, 3),
+        # dispersion + co-tenant evidence for the best-of-N legs (the e2e
+        # leg carries its own): median-of-reps and the machine-busy CPU not
+        # from this process during the best rep
+        "value_median": round(device_cps_median, 1),
+        "device_cotenant_busy_fraction": round(device_cotenant, 3),
         "end_to_end_clips_per_sec": round(e2e_cps, 1),
         "end_to_end_vs_baseline": round(e2e_cps / NORTH_STAR, 3),
         "host_decode_clips_per_sec": round(host_cps, 1),
@@ -492,6 +693,8 @@ def main():
         # run, per wall second (~0 = clean run; >>0 = noisy neighbor)
         "cotenant_busy_fraction": round(cotenant, 3),
         "train_step_ms_recipe_batch": round(train_ms, 1),
+        "train_step_ms_median": round(train_ms_median, 1),
+        "train_cotenant_busy_fraction": round(train_cotenant, 3),
         "gflops_per_clip_inference": round(inf_flops / BATCH / 1e9, 2),
         "tflops_per_train_step": round(train_flops / 1e12, 2),
         "rtt_ms_measured": round(rtt * 1000.0, 2),
@@ -517,6 +720,16 @@ def main():
     if peak:
         out["mfu_inference"] = round(inf_flops / BATCH * device_cps / peak, 3)
         out["mfu_train"] = round(train_flops / (train_ms / 1e3) / peak, 3)
+    # the other two reference trainers, at their reference recipe shapes
+    # (capability drivers must carry perf evidence, not just tests)
+    try:
+        out.update(bench_train3d(rtt))
+    except Exception as e:
+        print(f"bench: train3d leg skipped: {e!r}", file=__import__("sys").stderr)
+    try:
+        out.update(bench_train_1frame(rtt))
+    except Exception as e:
+        print(f"bench: train1f leg skipped: {e!r}", file=__import__("sys").stderr)
     print(json.dumps(out))
 
 
