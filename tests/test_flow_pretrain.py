@@ -60,6 +60,60 @@ def test_pretraining_recovers_known_shift():
         f"magnitude not recovered: {flow} vs {expected}"
 
 
+def test_pretraining_recovers_nonconstant_fields():
+    """The capability the constant-shift test cannot establish: trained on
+    mixed synthetic motion, FlowNetLite must recover NON-CONSTANT fields —
+    random similarity transforms (rotation/scale/translation) well below the
+    zero-flow EPE baseline, and independently-moving-object motion below it
+    on object interiors (boundaries are genuinely ambiguous under a
+    smoothness prior).  The reference gets this property from pretrained
+    FlowNet2 (`/root/reference/flow.py:100-107`); ours must earn it from the
+    unsupervised pretrainer, so this test is the evidence that the
+    warp-consistency loss receives usable flow on real (multi-object,
+    rotational) motion.  Thresholds calibrated with margin: at 600 steps the
+    measured ratios are ~0.33 (affine) and ~0.7-0.8 (two-object interior)."""
+    from scipy import ndimage
+
+    from avtubes.train.flow_pretrain import epe, warped_pairs
+
+    state = create_flow_state(jax.random.PRNGKey(0), 64, learning_rate=1e-3)
+    rng = np.random.RandomState(0)
+    probes = {k: warped_pairs(np.random.RandomState(1234 + i), 4, 64, kind=k)
+              for i, k in enumerate(("affine", "two_object"))}
+
+    kinds = ("translate", "affine", "two_object")
+    for step in range(600):
+        kind = kinds[step % 3]
+        if kind == "translate":
+            im1, im2, _ = translating_pairs(rng, 8, 64, max_shift=8)
+        else:
+            im1, im2, _ = warped_pairs(rng, 8, 64, kind)
+        state, _ = flow_pretrain_step(state, jnp.asarray(im1), jnp.asarray(im2))
+
+    apply = jax.jit(state.apply_fn)
+
+    # affine: full-frame EPE must halve the zero-flow baseline
+    p1, p2, gt = probes["affine"]
+    pred = np.asarray(apply({"params": state.params},
+                            jnp.asarray(p1), jnp.asarray(p2)))
+    zero = epe(np.zeros_like(pred), gt)
+    assert epe(pred, gt) < 0.5 * zero, \
+        f"affine EPE {epe(pred, gt):.3f} vs zero baseline {zero:.3f}"
+
+    # two-object: interior EPE (mask eroded 4 px — boundary cells are
+    # ambiguous under any smoothness prior) must beat the zero baseline
+    p1, p2, gt = probes["two_object"]
+    pred = np.asarray(apply({"params": state.params},
+                            jnp.asarray(p1), jnp.asarray(p2)))
+    moving = np.linalg.norm(gt, axis=-1) > 0.5
+    interior = np.stack([ndimage.binary_erosion(m, iterations=4)
+                         for m in moving])
+    d_pred = np.linalg.norm(pred - gt, axis=-1)[interior].mean()
+    d_zero = np.linalg.norm(gt, axis=-1)[interior].mean()
+    assert d_pred < 0.85 * d_zero, \
+        f"two-object interior EPE {d_pred:.3f} vs zero baseline {d_zero:.3f}"
+
+
 def test_pretrain_run_and_flow_trainer_autoload(tmp_path, capsys):
     """run_pretrain writes a flownet checkpoint; train/flow.run loads it."""
     from avtubes.core.config import (
