@@ -23,7 +23,8 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", default="train", choices=["train", "infer"])
+    p.add_argument("--mode", default="train",
+                   choices=["train", "infer", "train3d"])
     p.add_argument("--steps", default=5, type=int)
     p.add_argument("--batch_size", default=0, type=int,
                    help="0 = mode default (train 20, infer 128)")
@@ -77,6 +78,38 @@ def main(argv=None):
         state, m = step(state, 0)  # compile
         float(m["loss"])
         holder = {"st": state}  # the step donates its state — rebind each call
+
+        def run(i):
+            holder["st"], m = step(holder["st"], i)
+            return m["loss"]
+    elif a.mode == "train3d":
+        # the 3D tube recipe step (train_3D.py: bs=20 x 16-frame clips)
+        from avtubes.core.config import OptimConfig
+        from avtubes.models import FullModel
+        from avtubes.train.state import create_train_state
+        from avtubes.train.steps import train3d_fused_step
+
+        b = a.batch_size or 20
+        model = FullModel(dtype=jnp.bfloat16)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            (jnp.zeros((2, *spec_cfg.shape, 1)),
+             jnp.zeros((1, 2, 64, 64, 3))),
+            OptimConfig(), 1)
+        clips = jax.device_put(rng.randint(
+            0, 256, (b, a.frame_density, a.image_size, a.image_size, 3),
+            dtype=np.uint8))
+        waves = jax.device_put(np.clip(
+            rng.randn(b, spec_cfg.num_samples) * 0.1, -1, 1).astype(np.float32))
+
+        def step(st, i):
+            st, m = train3d_fused_step(st, clips, waves, jax.random.PRNGKey(i),
+                                       spec_cfg, a.image_size)
+            return st, m
+
+        state, m = step(state, 0)  # compile
+        float(m["loss"])
+        holder = {"st": state}
 
         def run(i):
             holder["st"], m = step(holder["st"], i)

@@ -42,11 +42,12 @@ from avtubes.utils.logging import MetricLogger
 
 @functools.partial(jax.jit,
                    static_argnames=("flow_loss_weight", "spec_cfg",
-                                    "image_size", "watch"),
+                                    "image_size", "watch", "compute_flow"),
                    donate_argnums=(0,))
 def flow_fused_train_step(state, flow_variables, clips_uint8, waveforms, key,
                           spec_cfg, flow_loss_weight: float = 0.0,
-                          image_size: int = 224, watch: bool = False):
+                          image_size: int = 224, watch: bool = False,
+                          compute_flow: bool = True):
     """Whole flow step in one program: spectrogram + augmentation + flow
     estimation + hard-way CE (+ gated warp consistency) + update."""
     from avtubes.data.spectrogram import log_spectrogram
@@ -55,28 +56,43 @@ def flow_fused_train_step(state, flow_variables, clips_uint8, waveforms, key,
     spec = log_spectrogram(waveforms, spec_cfg)[..., None]
     v1, _ = augment_train_batch(key, clips_uint8, image_size)
     return flow_train_step(state, flow_variables, v1, spec, flow_loss_weight,
-                           watch)
+                           watch, compute_flow)
 
 
-@functools.partial(jax.jit, static_argnames=("flow_loss_weight", "watch"),
+@functools.partial(jax.jit, static_argnames=("flow_loss_weight", "watch",
+                                             "compute_flow"),
                    donate_argnums=(0,))
 def flow_train_step(state, flow_variables, frames, spec,
-                    flow_loss_weight: float = 0.0, watch: bool = False):
-    """frames (B,T,H,W,3), spec (B,F,Tt,1); flow net frozen within the step."""
+                    flow_loss_weight: float = 0.0, watch: bool = False,
+                    compute_flow: bool = True):
+    """frames (B,T,H,W,3), spec (B,F,Tt,1); flow net frozen within the step.
+
+    `compute_flow=True` matches the reference, which runs FlowNet2 and logs
+    the warp-consistency probe every step even at weight 0
+    (`/root/reference/flow.py:127-153`).  `compute_flow=False` is the
+    TPU-native option the reference lacks: at weight 0 the flow net, the
+    resize and the warp are dropped from the program entirely (the
+    `warp_consistency` metric reads 0.0) — measured in
+    `scripts/bench_flow_step.py`.
+    """
+    if flow_loss_weight > 0 and not compute_flow:
+        raise ValueError("flow_loss_weight > 0 requires compute_flow=True")
     b, t = frames.shape[:2]
     frames_f = frames.reshape(b * t, *frames.shape[2:])
 
-    # flow between consecutive frame pairs (no grad into the flow net here).
-    # FlowNetLite is pretrained on [0,1] frames (flow_pretrain's photometric
-    # loss divides by 255) — undo the ImageNet normalization the AVENet
-    # input carries, or the flow net runs far outside its input domain
-    from avtubes.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    if compute_flow:
+        # flow between consecutive frame pairs (no grad into the flow net
+        # here).  FlowNetLite is pretrained on [0,1] frames (flow_pretrain's
+        # photometric loss divides by 255) — undo the ImageNet normalization
+        # the AVENet input carries, or the flow net runs far outside its
+        # input domain
+        from avtubes.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-    raw = frames * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
-    im1 = raw[:, :-1].reshape(b * (t - 1), *frames.shape[2:])
-    im2 = raw[:, 1:].reshape(b * (t - 1), *frames.shape[2:])
-    flow = FlowNetLite().apply(flow_variables, im1, im2)
-    flow = jax.lax.stop_gradient(flow)
+        raw = frames * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+        im1 = raw[:, :-1].reshape(b * (t - 1), *frames.shape[2:])
+        im2 = raw[:, 1:].reshape(b * (t - 1), *frames.shape[2:])
+        flow = FlowNetLite().apply(flow_variables, im1, im2)
+        flow = jax.lax.stop_gradient(flow)
 
     def loss_fn(params):
         # audio encoded once per clip, pooled features tiled over T
@@ -87,16 +103,19 @@ def flow_train_step(state, flow_variables, frames, spec,
             method="forward_shared_audio",
         )
         ce = hardway_loss(out.logits)
-        pos = out.pos.reshape(b, t, *out.pos.shape[1:])          # (B,T,h,w)
-        h, w = pos.shape[2:]
-        # downsample the flow to heatmap resolution, rescale magnitudes
-        flow_hw = jax.image.resize(
-            flow, (b * (t - 1), h, w, 2), method="linear"
-        ) * (h / frames.shape[2])
-        prev = pos[:, :-1].reshape(b * (t - 1), h, w, 1)
-        nxt = pos[:, 1:].reshape(b * (t - 1), h, w, 1)
-        warped = flow_warp(prev, flow_hw)
-        warp_l1 = jnp.abs(warped - nxt).mean()
+        if compute_flow:
+            pos = out.pos.reshape(b, t, *out.pos.shape[1:])      # (B,T,h,w)
+            h, w = pos.shape[2:]
+            # downsample the flow to heatmap resolution, rescale magnitudes
+            flow_hw = jax.image.resize(
+                flow, (b * (t - 1), h, w, 2), method="linear"
+            ) * (h / frames.shape[2])
+            prev = pos[:, :-1].reshape(b * (t - 1), h, w, 1)
+            nxt = pos[:, 1:].reshape(b * (t - 1), h, w, 1)
+            warped = flow_warp(prev, flow_hw)
+            warp_l1 = jnp.abs(warped - nxt).mean()
+        else:
+            warp_l1 = jnp.asarray(0.0, jnp.float32)
         loss = ce + flow_loss_weight * warp_l1
         metrics = {"loss": loss, "hardway_loss": ce, "warp_consistency": warp_l1}
         return loss, (mut["batch_stats"], metrics)

@@ -73,3 +73,43 @@ def test_flow_train_step_runs():
     # weight > 0: consistency term contributes
     state, m1 = flow_train_step(state, flow_vars, frames, spec, flow_loss_weight=0.5)
     assert float(m1["loss"]) >= float(m1["hardway_loss"]) - 1e-6
+
+
+def test_flow_train_step_compute_flow_off():
+    """compute_flow=False drops the flow net from the program: loss == CE,
+    warp probe reads 0, and enabling the warp term without the flow net is
+    rejected at trace time."""
+    import pytest
+
+    from avtubes.core.config import OptimConfig
+    from avtubes.models import AVENet
+    from avtubes.train import create_train_state
+    from avtubes.train.flow import flow_train_step
+
+    rng = np.random.RandomState(2)
+    b, t, s = 2, 3, 64
+    frames = jnp.asarray(rng.randn(b, t, s, s, 3), jnp.float32)
+    spec = jnp.asarray(rng.randn(b, s, s, 1), jnp.float32)
+    model = AVENet()
+
+    def make_state():  # the step donates its state arg — fresh one per call
+        return create_train_state(
+            model, jax.random.PRNGKey(0),
+            (jnp.zeros((2, s, s, 3)), jnp.zeros((2, s, s, 1))),
+            OptimConfig(learning_rate=1e-3))
+
+    flow_vars = FlowNetLite().init(
+        jax.random.PRNGKey(1), jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3)))
+
+    _, m_off = flow_train_step(make_state(), flow_vars, frames, spec,
+                               flow_loss_weight=0.0, compute_flow=False)
+    _, m_on = flow_train_step(make_state(), flow_vars, frames, spec,
+                              flow_loss_weight=0.0, compute_flow=True)
+    assert float(m_off["warp_consistency"]) == 0.0
+    assert float(m_off["loss"]) == float(m_off["hardway_loss"])
+    # weight-0 objective identical with or without the probe
+    np.testing.assert_allclose(float(m_off["hardway_loss"]),
+                               float(m_on["hardway_loss"]), rtol=1e-6)
+    with pytest.raises(ValueError, match="compute_flow"):
+        flow_train_step(make_state(), flow_vars, frames, spec,
+                        flow_loss_weight=0.5, compute_flow=False)
