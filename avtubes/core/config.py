@@ -88,6 +88,10 @@ class TrainConfig:
     use_pretrained: bool = False
     pretrained_path: str = ""
     steps_cap: int = 0                 # cap steps/epoch (0 = full epoch)
+    jitter_order: str = "random"       # 'random' = torchvision per-sample op
+    #                                    order parity; 'fixed' = static
+    #                                    b->c->s->h order, 4.8 ms/step cheaper
+    #                                    (scripts/bench_train_attrib.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,6 +150,11 @@ class ExperimentConfig:
                        help="log per-layer grad/param norms every N steps "
                             "(wandb.watch parity; 0 = off)")
         p.add_argument("--eval_batch_size", default=32, type=int)
+        p.add_argument("--jitter_order", default="random", type=str,
+                       choices=["random", "fixed"],
+                       help="color-jitter op order: 'random' per sample "
+                            "(torchvision parity) or 'fixed' static "
+                            "(4.8 ms/step cheaper at the recipe shape)")
         p.add_argument("--audio_transport", default="int16", type=str,
                        choices=["float32", "int16", "spec_int16", "spec_int8"],
                        help="audio payload: raw f32, int16 PCM (lossless for "
@@ -177,6 +186,7 @@ class ExperimentConfig:
                 group_steps=a.group_steps, watch_every=a.watch_every,
                 steps_cap=a.steps, remat=a.remat,
                 record_qualitative=a.record_qualitative,
+                jitter_order=a.jitter_order,
             ),
             hardway=HardwayConfig(
                 epsilon=a.epsilon, epsilon2=a.epsilon2, trimap=a.tri_map, use_neg=a.Neg,

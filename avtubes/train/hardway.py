@@ -165,7 +165,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                 state, metrics = hardway_fused_train_step(
                     state, batch["clip"], batch["waveform"],
                     jax.random.fold_in(aug_key, step_in_epoch), spec_cfg,
-                    o.loss_weight, d.image_size, watch)
+                    o.loss_weight, d.image_size, watch,
+                    jitter_order=cfg.train.jitter_order)
                 step_in_epoch += 1
             else:
                 pending.append(batch)
@@ -177,7 +178,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "hardway16",
                     state,
                     jnp.stack([p["clip"] for p in pending]),
                     jnp.stack([p["waveform"] for p in pending]),
-                    keys, spec_cfg, o.loss_weight, d.image_size, watch)
+                    keys, spec_cfg, o.loss_weight, d.image_size, watch,
+                    jitter_order=cfg.train.jitter_order)
                 pending = []
                 step_in_epoch += group
             norms = {k: v for k, v in metrics.items() if "_norm/" in k}

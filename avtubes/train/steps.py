@@ -243,7 +243,7 @@ def hardway_1frame_train_step(
 
 @functools.partial(jax.jit,
                    static_argnames=("loss_weight", "spec_cfg", "image_size",
-                                    "watch", "ghost"),
+                                    "watch", "ghost", "jitter_order"),
                    donate_argnums=(0,))
 def hardway_fused_train_step(
     state: AVTrainState,
@@ -256,6 +256,8 @@ def hardway_fused_train_step(
     watch: bool = False,
     ghost: bool = False,        # both views in one vmapped encoder pass
     #                             (ghost BN over the view axis; same math)
+    jitter_order: str = "random",  # 'fixed' drops torchvision random-order
+    #                                parity for a measured 4.8 ms/step
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """The whole training step as ONE program: log-spectrogram (DFT matmuls),
     two-view augmentation, both forward passes, 4-term loss, Adam update.
@@ -268,14 +270,14 @@ def hardway_fused_train_step(
     from avtubes.data.transforms import augment_train_batch
 
     spec = log_spectrogram(waveforms, spec_cfg)[..., None]
-    v1, v2 = augment_train_batch(key, clips_uint8, image_size)
+    v1, v2 = augment_train_batch(key, clips_uint8, image_size, jitter_order)
     step = hardway_train_step_ghost if ghost else hardway_train_step
     return step(state, v1, v2, spec, loss_weight, watch)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("loss_weight", "spec_cfg", "image_size",
-                                    "watch", "ghost"),
+                                    "watch", "ghost", "jitter_order"),
                    donate_argnums=(0,))
 def hardway_multi_step(
     state: AVTrainState,
@@ -287,6 +289,7 @@ def hardway_multi_step(
     image_size: int = 224,
     watch: bool = False,
     ghost: bool = False,
+    jitter_order: str = "random",
 ) -> tuple[AVTrainState, dict[str, jnp.ndarray]]:
     """G sequential optimizer steps inside ONE program (lax.scan).
 
@@ -299,7 +302,7 @@ def hardway_multi_step(
         clips, waves, key = inputs
         st, metrics = hardway_fused_train_step(
             st, clips, waves, key, spec_cfg, loss_weight, image_size, watch,
-            ghost)
+            ghost, jitter_order)
         return st, metrics
 
     state, metrics = jax.lax.scan(body, state, (clips_uint8, waveforms, keys))
