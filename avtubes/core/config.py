@@ -92,6 +92,11 @@ class TrainConfig:
     #                                    order parity; 'fixed' = static
     #                                    b->c->s->h order, 4.8 ms/step cheaper
     #                                    (scripts/bench_train_attrib.py)
+    conv3d_impl: str = "direct"        # tube-encoder conv3d lowering:
+    #                                    'direct' XLA Conv3D | 'stacked' /
+    #                                    'sum' exact Conv2D lowerings
+    #                                    (ops/conv3d.py; param-compatible,
+    #                                    measured in DESIGN.md 3D notes)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,6 +160,11 @@ class ExperimentConfig:
                        help="color-jitter op order: 'random' per sample "
                             "(torchvision parity) or 'fixed' static "
                             "(4.8 ms/step cheaper at the recipe shape)")
+        p.add_argument("--conv3d_impl", default="direct", type=str,
+                       choices=["direct", "stacked", "sum"],
+                       help="tube-encoder conv3d lowering (3D trainer only): "
+                            "XLA Conv3D, or the exact Conv2D lowerings of "
+                            "ops/conv3d.py (param-compatible)")
         p.add_argument("--audio_transport", default="int16", type=str,
                        choices=["float32", "int16", "spec_int16", "spec_int8"],
                        help="audio payload: raw f32, int16 PCM (lossless for "
@@ -186,7 +196,7 @@ class ExperimentConfig:
                 group_steps=a.group_steps, watch_every=a.watch_every,
                 steps_cap=a.steps, remat=a.remat,
                 record_qualitative=a.record_qualitative,
-                jitter_order=a.jitter_order,
+                jitter_order=a.jitter_order, conv3d_impl=a.conv3d_impl,
             ),
             hardway=HardwayConfig(
                 epsilon=a.epsilon, epsilon2=a.epsilon2, trimap=a.tri_map, use_neg=a.Neg,

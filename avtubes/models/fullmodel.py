@@ -26,11 +26,15 @@ class FullModel(nn.Module):
     hardway: HardwayConfig = HardwayConfig()
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # checkpoint backbones (recompute in backward)
+    # conv3d lowering for the tube encoder: "direct" (XLA Conv3D) or
+    # "stacked" (exact Conv2D lowering, ops/conv3d.py) — param-compatible.
+    conv3d_impl: str = "direct"
 
     def setup(self):
         net3d = nn.remat(ResNet3D, static_argnums=(2,)) if self.remat else ResNet3D
         net2d = nn.remat(ResNet2D, static_argnums=(2,)) if self.remat else ResNet2D
-        self.vidnet = net3d(dtype=self.dtype, name="vidnet")
+        self.vidnet = net3d(dtype=self.dtype, conv_impl=self.conv3d_impl,
+                            name="vidnet")
         # bn_scale_noise=False: the N(1, .02) BN re-init lives only in the
         # reference's AVENet.__init__ (`model.py:104-110`); FullModel's
         # audnet (`model.py:21`) keeps torch's constant-1 BN default

@@ -32,7 +32,8 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "tube3d",
         do_eval: bool = True) -> dict:
     d, o = cfg.data, cfg.optim
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-    model = FullModel(hardway=cfg.hardway, dtype=dtype, remat=cfg.train.remat)
+    model = FullModel(hardway=cfg.hardway, dtype=dtype, remat=cfg.train.remat,
+                      conv3d_impl=cfg.train.conv3d_impl)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
 
     train_src, _, _ = build_sources(cfg)

@@ -59,8 +59,8 @@ def main(argv=None):
         .astype(np.float32))
     key = jax.random.PRNGKey(1)
 
-    def run_variant(tag, remat, dtype):
-        model = FullModel(dtype=dtype, remat=remat)
+    def run_variant(tag, remat, dtype, conv3d_impl="direct"):
+        model = FullModel(dtype=dtype, remat=remat, conv3d_impl=conv3d_impl)
         state = create_train_state(
             model, jax.random.PRNGKey(0),
             (jnp.zeros((2, *spec_cfg.shape, 1)),
@@ -104,9 +104,70 @@ def main(argv=None):
         del holder, state
         return row
 
-    run_variant("bf16", remat=False, dtype=jnp.bfloat16)
-    run_variant("bf16+remat", remat=True, dtype=jnp.bfloat16)
-    run_variant("f32", remat=False, dtype=jnp.float32)
+    def try_variant(*args, **kw):
+        try:
+            return run_variant(*args, **kw)
+        except Exception as e:
+            print(json.dumps({"variant": args[0],
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+            return None
+
+    def eval_variant(tag, conv3d_impl):
+        # forward-only (per-frame eval program) impl comparison — no
+        # backward residuals, so even the concat-hungry 'stacked' fits.
+        # Same methodology as bench.py's eval3d leg: scan-amortized (3
+        # iters/jit), float video, scalar-readback barrier.
+        from avtubes.train.steps import eval3d_heatmap_step
+
+        model = FullModel(dtype=jnp.bfloat16, conv3d_impl=conv3d_impl)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            (jnp.zeros((2, *spec_cfg.shape, 1)),
+             jnp.zeros((1, 2, 64, 64, 3))),
+            OptimConfig(), 1)
+        spec = jnp.zeros((b, *spec_cfg.shape, 1), jnp.float32)
+        video = jax.device_put(
+            (rng.rand(b, t, s, s, 3) * 2 - 1).astype(np.float32))
+
+        @jax.jit
+        def timed_eval(video, spec):
+            def body(acc, i):
+                h = eval3d_heatmap_step(state, video + i * 1e-6, spec)
+                return acc + h[0, 0, 0, 0], None
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(3, dtype=jnp.float32))
+            return acc
+
+        float(timed_eval(video, spec))  # compile
+        walls, cotenants = bench._rep_stats(
+            lambda: float(timed_eval(video, spec)), a.reps)
+        i = min(range(len(walls)), key=lambda j: walls[j])
+        ms = (walls[i] - rtt) / 3 * 1e3
+        row = {"variant": tag, "eval_ms": round(ms, 1),
+               "eval_ms_median": round((bench._median(walls) - rtt) / 3 * 1e3, 1),
+               "cotenant_busy_fraction": round(cotenants[i], 3),
+               "clips_per_sec": round(b / (ms / 1e3), 1)}
+        print(json.dumps(row), flush=True)
+        return row
+
+    try_variant("bf16", remat=False, dtype=jnp.bfloat16)
+    # conv3d lowering impls (ops/conv3d.py): 'stacked' OOMs the bs=20
+    # backward (the kt-wide concat adds ~5.5 GB of saved activations —
+    # measured, log in DESIGN.md), so train measures 'sum' and
+    # 'stacked'+remat; the forward-only eval program measures all three.
+    try_variant("bf16+sum", remat=False, dtype=jnp.bfloat16,
+                conv3d_impl="sum")
+    try_variant("bf16+stacked+remat", remat=True, dtype=jnp.bfloat16,
+                conv3d_impl="stacked")
+    try_variant("bf16+remat", remat=True, dtype=jnp.bfloat16)
+    try_variant("f32", remat=False, dtype=jnp.float32)
+    for impl in ("direct", "stacked", "sum"):
+        try:
+            eval_variant(f"eval/{impl}", impl)
+        except Exception as e:
+            print(json.dumps({"variant": f"eval/{impl}",
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
 
 
 if __name__ == "__main__":

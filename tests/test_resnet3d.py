@@ -30,6 +30,37 @@ def test_fullmodel_shapes():
     assert out.logits.shape == (b * t, b * t + 2)
 
 
+def test_conv3d_lowered_impls_match_direct():
+    """The time-lowered Conv2D impls ('stacked' = one wide conv, 'sum' = kt
+    shifted convs) are the SAME function as XLA Conv3D: identical param
+    pytree, forward, and gradients (f32, atol to reassociated contraction)."""
+    direct = ResNet3D(conv_impl="direct")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 32, 32, 3),
+                    jnp.float32)
+    vars_ = direct.init(jax.random.PRNGKey(0), x, train=False)
+    y_d = direct.apply(vars_, x, train=False)
+
+    def loss(params, model):
+        y, _ = model.apply({**vars_, "params": params}, x, train=True,
+                           mutable=["batch_stats"])
+        return jnp.sum(y ** 2) / y.size
+
+    g_d = jax.grad(loss)(vars_["params"], direct)
+    for impl in ("stacked", "sum"):
+        lowered = ResNet3D(conv_impl=impl)
+        vars_l = lowered.init(jax.random.PRNGKey(0), x, train=False)
+        assert jax.tree_util.tree_structure(vars_) == \
+            jax.tree_util.tree_structure(vars_l)
+        y_l = lowered.apply(vars_, x, train=False)
+        np.testing.assert_allclose(np.asarray(y_l), np.asarray(y_d),
+                                   atol=2e-4, rtol=2e-4, err_msg=impl)
+        g_l = jax.grad(loss)(vars_["params"], lowered)
+        for gd, gl in zip(jax.tree_util.tree_leaves(g_d),
+                          jax.tree_util.tree_leaves(g_l)):
+            np.testing.assert_allclose(np.asarray(gl), np.asarray(gd),
+                                       atol=2e-4, rtol=2e-3, err_msg=impl)
+
+
 def test_train3d_step_decreases_loss():
     rng = np.random.RandomState(0)
     b, t = 2, 2
