@@ -39,8 +39,9 @@ class TSConv3D(nn.Module):
 
     Same parameter pytree as nn.Conv ({"kernel": (kt, kh, kw, C, O)}, same
     init), so checkpoints and the Kinetics torch import are impl-agnostic;
-    the forward is `ops.conv3d.conv3d_time_stacked` (exact math, measured
-    faster than XLA's Conv3D lowering — DESIGN.md 3D tube notes).
+    the forward is `ops.conv3d.conv3d_time_stacked` / `conv3d_time_sum`
+    (exact math; measured SLOWER than XLA's direct Conv3D on v5e — a
+    recorded negative result, DESIGN.md 3D tube notes — kept opt-in).
     """
 
     features: int

@@ -3,19 +3,29 @@
 The 3D tube encoder (reference `resnet3D.py:138-148`) is all (kt, kh, kw)
 convolutions with temporal stride 1 and SAME temporal padding — XLA's
 native Conv3D lowering runs these at ~0.42 of MXU peak on v5e (measured,
-DESIGN.md "3D tube" notes), while the equivalent-shape Conv2D codegen
-reaches ~0.73.  This module lowers the 3D conv EXACTLY onto Conv2D:
+DESIGN.md "3D tube" notes), while the 2D flagship's Conv2D programs reach
+~0.73.  This module lowers the 3D conv EXACTLY onto Conv2D two ways:
 
   y[b, t] = sum_dt conv2d(x[b, t + dt - kt//2], K[dt])
 
-is one 2D convolution over the (B*T) folded frame batch whose input is the
-kt time-shifted copies of x stacked along channels (zero padding at the
-clip boundary = the 3D conv's SAME temporal padding) and whose kernel is
-K transposed to (kh, kw, kt*C, O) with dt-major channel blocks.  Identical
-FLOPs and math (same contraction, reassociated), kt times the input
-activation traffic for the concat — a good trade while the convs are
-MXU-bound, which the per-op profile shows they are (95% of step time in
-conv fusions).
+'stacked': one 2D convolution over the (B*T) folded frame batch whose
+input is the kt time-shifted copies of x stacked along channels (zero
+padding at the clip boundary = the 3D conv's SAME temporal padding) and
+whose kernel is K transposed to (kh, kw, kt*C, O) with dt-major channel
+blocks.  'sum': kt separate 2D convolutions on time-shifted slices,
+summed.  Identical FLOPs and math (same contraction, reassociated).
+
+MEASURED RESULT (v5e, bs=20 x 16-frame recipe — a recorded NEGATIVE,
+DESIGN.md 3D-tube notes): direct Conv3D wins.  Forward-only eval program
+155.4 ms (direct) vs 179.0 ('sum', +15%) vs 207.7 ('stacked', +34%) — the
+kt-fold extra activation traffic costs more than Conv2D codegen recovers,
+i.e. the ~0.42-of-peak conv efficiency is intrinsic to these shapes
+(112x112 bf16 activations, C=64-512 on (8,128) tiles), not a
+Conv3D-codegen artifact.  On the training backward both lowerings OOM the
+recipe batch: 'stacked' saves the kt-wide concats (+4.18 GB over the
+15.75 GB HBM), 'sum' saves the kt sliced inputs (+0.2 GB).  Both impls
+stay available and parity-tested (tests/test_resnet3d.py); the default
+everywhere is 'direct'.
 """
 
 from __future__ import annotations
@@ -77,10 +87,11 @@ def conv3d_time_sum(x: jnp.ndarray, kernel: jnp.ndarray,
     y[b, t] = sum_dt conv2d(x[b, t + dt - kt//2], K[dt]) — each temporal tap
     is its own Conv2D over the (B·T) folded frame batch on a time-shifted
     slice of the padded input.  Unlike `conv3d_time_stacked`, nothing wider
-    than the input is ever materialized (the kt slices are views of ONE
-    padded tensor and cheap for XLA to rematerialize in the backward), so
-    this fits where the stacked concat OOMs — measured per-impl in
-    DESIGN.md's 3D-tube notes.  Same contraction, reassociated per tap.
+    than the input is materialized in the forward; in the backward XLA
+    still saves each sliced conv input, so the recipe-batch train step
+    OOMs by ~0.2 GB (vs the stacked form's +4.18 GB).  Measured slower
+    than direct Conv3D on the forward anyway (module docstring) — kept as
+    an opt-in, parity-tested alternative.  Same contraction, reassociated.
     """
     kt, kh, kw, cin, cout = kernel.shape
     st, sh, sw = strides

@@ -151,10 +151,11 @@ def main(argv=None):
         return row
 
     try_variant("bf16", remat=False, dtype=jnp.bfloat16)
-    # conv3d lowering impls (ops/conv3d.py): 'stacked' OOMs the bs=20
-    # backward (the kt-wide concat adds ~5.5 GB of saved activations —
-    # measured, log in DESIGN.md), so train measures 'sum' and
-    # 'stacked'+remat; the forward-only eval program measures all three.
+    # conv3d lowering impls (ops/conv3d.py): on the bs=20 recipe backward
+    # BOTH lowerings OOM ('stacked' +4.18 GB saved concats, 'sum' +0.20 GB
+    # saved sliced inputs — errors recorded below); the forward-only eval
+    # program measures all three and direct Conv3D wins (DESIGN.md 3D
+    # notes, negative result).
     try_variant("bf16+sum", remat=False, dtype=jnp.bfloat16,
                 conv3d_impl="sum")
     try_variant("bf16+stacked+remat", remat=True, dtype=jnp.bfloat16,
