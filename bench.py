@@ -419,6 +419,26 @@ def bench_train_step(rtt: float) -> tuple[float, float, float, float, dict]:
     hbm = {"hbm_live_gb": round(live / 2**30, 3)}
     if peak:
         hbm["hbm_peak_gb"] = round(peak / 2**30, 3)
+    # companion number: the same step with `--jitter_order fixed` (static
+    # color-jitter op order — drops torchvision's random per-sample order
+    # parity; measured attribution in DESIGN.md / bench_train_attrib.py).
+    # Recorded so the driver-captured file carries BOTH programs: parity
+    # (the headline) and the production opt-out.
+    try:
+        def run_fixed():
+            holder["st"], mm = hardway_multi_step(
+                holder["st"], clips, waves, keys, spec_cfg,
+                jitter_order="fixed")
+            float(mm["loss"])
+
+        run_fixed()  # compile
+        run_fixed()  # warm
+        walls_f, _ = _rep_stats(run_fixed, 3)
+        hbm["train_step_ms_fixed_jitter"] = round(
+            (min(walls_f) - rtt) / g * 1000.0, 1)
+    except Exception as e:
+        print(f"bench: fixed-jitter train variant skipped: {e!r}",
+              file=__import__("sys").stderr)
     return step_ms, step_ms_median, cotenants[i_best], step_flops, hbm
 
 
