@@ -584,10 +584,13 @@ def bench_train_1frame(rtt: float) -> dict:
         float(ls[-1])
 
     run()  # warm
-    walls, _ = _rep_stats(run, 5)
-    step_ms = (min(walls) - rtt) / g * 1000.0
+    walls, cotenants = _rep_stats(run, 5)
+    i_best = min(range(len(walls)), key=lambda i: walls[i])
+    step_ms = (walls[i_best] - rtt) / g * 1000.0
     out = {
         "train1f_step_ms": round(step_ms, 2),
+        "train1f_step_ms_median": round((_median(walls) - rtt) / g * 1000.0, 2),
+        "train1f_cotenant_busy_fraction": round(cotenants[i_best], 3),
         "train1f_gflops_per_step": round(step_flops / 1e9, 1),
     }
     peak = device_peak_flops()
