@@ -30,6 +30,13 @@ def main(argv=None):
     train_flow = "--train_flow" in argv
     if train_flow:
         argv.remove("--train_flow")
+    # --no_flow: drop the flow net + warp probe from the compiled program
+    # entirely (only valid at weight 0; the reference always runs FlowNet2,
+    # flow.py:127-153 — this is the TPU-native skip, +25% step rate measured
+    # in scripts/bench_flow_step.py)
+    compute_flow = "--no_flow" not in argv
+    if not compute_flow:
+        argv.remove("--no_flow")
     cfg = ExperimentConfig.from_args(argv)
     if train_flow:
         from avtubes.train.flow_pretrain import run_pretrain
@@ -37,7 +44,7 @@ def main(argv=None):
         metrics = run_pretrain(cfg, steps_cap=cfg.train.steps_cap)
     else:
         metrics = run(cfg, steps_cap=cfg.train.steps_cap,
-                      flow_loss_weight=weight)
+                      flow_loss_weight=weight, compute_flow=compute_flow)
     print("final:", metrics)
 
 

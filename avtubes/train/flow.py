@@ -130,7 +130,7 @@ def flow_train_step(state, flow_variables, frames, spec,
 
 
 def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
-        flow_loss_weight: float = 0.0) -> dict:
+        flow_loss_weight: float = 0.0, compute_flow: bool = True) -> dict:
     d, o = cfg.data, cfg.optim
     model = build_model(cfg)
     spec_cfg = SpectrogramConfig(samplerate=d.samplerate, seconds=d.audio_seconds)
@@ -197,7 +197,7 @@ def run(cfg: ExperimentConfig, steps_cap: int = 0, tag: str = "flow",
             state, metrics = flow_fused_train_step(
                 state, flow_variables, batch["clip"], batch["waveform"],
                 jax.random.fold_in(key, step_in_epoch), spec_cfg,
-                flow_loss_weight, d.image_size, watch)
+                flow_loss_weight, d.image_size, watch, compute_flow)
             step_in_epoch += 1
             norms = {k: v for k, v in metrics.items() if "_norm/" in k}
             metrics = {k: v for k, v in metrics.items() if "_norm/" not in k}

@@ -50,6 +50,18 @@ def test_flow_cli_with_weight(tmp_path, capsys):
     assert "final:" in capsys.readouterr().out
 
 
+def test_flow_cli_no_flow(tmp_path, capsys):
+    """--no_flow drops the flow net from the compiled program at weight 0:
+    the run completes and the warp probe reads exactly 0.0 (the step never
+    computed it)."""
+    from avtubes.cli.flow import main
+
+    main(_tiny(tmp_path) + ["--no_flow"])
+    out = capsys.readouterr().out
+    assert "final:" in out
+    assert "'warp_consistency': 0.0" in out
+
+
 def test_flow_cli_pretrain(tmp_path, capsys):
     """Covers the --train_flow branch (FlowNetLite unsupervised pretrain)."""
     from avtubes.cli.flow import main
