@@ -599,6 +599,78 @@ def bench_train_1frame(rtt: float) -> dict:
     return out
 
 
+def bench_flowstep(rtt: float) -> dict:
+    """Flow-consistency trainer step at the reference recipe shape
+    (`/root/reference/flow.py:127-161`: bs=20, 16 frames, 256px) with the
+    correlation cost volume + bilinear warp LIVE in the objective
+    (weight 0.1), plus the `compute_flow=False` companion (the TPU-native
+    skip of the flow net at weight 0 — the reference's effective objective
+    without its always-on FlowNet probe).  Deeper sweep (probe_only
+    variant, overhead decomposition): scripts/bench_flow_step.py."""
+    from avtubes.core.config import OptimConfig
+    from avtubes.data.spectrogram import SpectrogramConfig
+    from avtubes.models import AVENet
+    from avtubes.models.flownet import FlowNetLite
+    from avtubes.train.flow import flow_fused_train_step
+    from avtubes.train.state import create_train_state
+
+    spec_cfg = SpectrogramConfig()
+    b, t, s = 20, 16, 256
+    rng = np.random.RandomState(0)
+    clips = jax.device_put(
+        rng.randint(0, 256, (b, t, s, s, 3), dtype=np.uint8))
+    waves = jax.device_put(
+        np.clip(rng.randn(b, spec_cfg.num_samples) * 0.1, -1, 1)
+        .astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    flow_vars = jax.jit(FlowNetLite().init)(
+        jax.random.PRNGKey(7), jnp.zeros((1, s, s, 3)),
+        jnp.zeros((1, s, s, 3)))
+
+    def build_state():
+        model = AVENet(dtype=jnp.bfloat16)
+        return create_train_state(
+            model, jax.random.PRNGKey(0),
+            (jnp.zeros((2, s, s, 3)), jnp.zeros((2, *spec_cfg.shape, 1))),
+            OptimConfig(), 1)
+
+    out = {}
+    peak = device_peak_flops()
+    for weight, cf, tag, reps in ((0.1, True, "flowstep", 5),
+                                  (0.0, False, "flowstep_noflow", 3)):
+        state = build_state()
+        flops = compiled_flops(
+            flow_fused_train_step, state, flow_vars, clips, waves, key,
+            spec_cfg=spec_cfg, flow_loss_weight=weight, image_size=s,
+            compute_flow=cf)
+        state, m = flow_fused_train_step(state, flow_vars, clips, waves, key,
+                                         spec_cfg, weight, s, compute_flow=cf)
+        float(m["loss"])  # compile + run once
+        holder = {"st": state}
+
+        def run():
+            holder["st"], mm = flow_fused_train_step(
+                holder["st"], flow_vars, clips, waves, key, spec_cfg,
+                weight, s, compute_flow=cf)
+            float(mm["loss"])
+
+        run()  # warm
+        walls, cotenants = _rep_stats(run, reps)
+        i_best = min(range(len(walls)), key=lambda i: walls[i])
+        step_ms = (walls[i_best] - rtt) * 1000.0
+        out[f"{tag}_ms"] = round(step_ms, 1)
+        if tag == "flowstep":
+            out["flowstep_ms_median"] = round(
+                (_median(walls) - rtt) * 1000.0, 1)
+            out["flowstep_cotenant_busy_fraction"] = round(
+                cotenants[i_best], 3)
+            out["flowstep_tflops_per_step"] = round(flops / 1e12, 2)
+            if peak:
+                out["mfu_flowstep"] = round(
+                    flops / (step_ms / 1e3) / peak, 3)
+    return out
+
+
 def wait_for_backend(budget_s: float = 900.0, probe_timeout_s: float = 90.0):
     """Bounded wait for a reachable accelerator backend.
 
@@ -753,6 +825,10 @@ def main():
         out.update(bench_train_1frame(rtt))
     except Exception as e:
         print(f"bench: train1f leg skipped: {e!r}", file=__import__("sys").stderr)
+    try:
+        out.update(bench_flowstep(rtt))
+    except Exception as e:
+        print(f"bench: flow leg skipped: {e!r}", file=__import__("sys").stderr)
     print(json.dumps(out))
 
 
